@@ -1,0 +1,23 @@
+"""monogs_tpu — a TPU-native Gaussian-splatting SLAM framework.
+
+A from-scratch JAX / XLA / Pallas rebuild of the capabilities of MonoGS
+("Gaussian Splatting SLAM", CVPR 2024; reference: rogerhh/MonoGS fork with a
+count-sketched second-order camera tracker). The entire map is a fixed-capacity
+structure-of-arrays pytree of 3D Gaussians living in HBM; tracking and mapping
+are pure jitted functions; the differentiable tile rasterizer yields analytic
+gradients w.r.t. both Gaussian parameters and the SE(3) camera pose through
+JAX autodiff instead of hand-written CUDA backward kernels.
+
+Package layout:
+  ops/      core math: SE(3), spherical harmonics, image filters, losses,
+            kNN, count-sketching
+  render/   the differentiable renderer (golden reference + tiled TPU path)
+  models/   Gaussian map state + insertion/densify/prune at fixed capacity
+  slam/     tracking/mapping optimizers, frontend/backend runtime, config
+  data/     dataset parsers (TUM / Replica / EuRoC / Realsense) + synthetic
+  eval/     ATE (Umeyama/evo-equivalent), PSNR/SSIM/LPIPS
+  parallel/ multi-chip sharding (mesh layouts, view/gaussian sharding)
+  utils/    logging, profiling
+"""
+
+__version__ = "0.1.0"

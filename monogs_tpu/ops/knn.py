@@ -1,0 +1,65 @@
+"""Brute-force k-nearest-neighbor mean squared distance, MXU-shaped.
+
+TPU-native replacement for the reference's CUDA `simple-knn` extension
+(`distCUDA2(points)` — mean squared distance to the 3 nearest neighbors,
+used once per keyframe insertion to set initial Gaussian scales,
+/root/reference/gaussian_splatting/scene/gaussian_model.py:185-192).
+
+For the ~1e4 points inserted per keyframe the O(N^2) pairwise distance is a
+single [N,3]x[3,N] matmul family that fits the MXU comfortably; we chunk the
+rows to bound memory and take a top-4 (self + 3 NN) partial sort per row.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+@functools.partial(jax.jit, static_argnames=("k", "chunk"))
+def mean_knn_sq_dist(points, valid_mask=None, k: int = 3, chunk: int = 2048):
+    """Mean squared distance from each point to its k nearest neighbors.
+
+    points: [N, 3]; valid_mask: [N] bool (invalid points are excluded as
+    neighbors and get result 0). Returns [N] float32.
+    """
+    n = points.shape[0]
+    sq = jnp.sum(points * points, axis=-1)  # [N]
+    if valid_mask is None:
+        valid_mask = jnp.ones((n,), bool)
+    big = jnp.float32(1e12)
+
+    n_pad = (-n) % chunk
+    pts_pad = jnp.pad(points, ((0, n_pad), (0, 0)))
+    sq_pad = jnp.pad(sq, (0, n_pad))
+    valid_pad = jnp.pad(valid_mask, (0, n_pad))
+
+    def row_chunk(carry, inputs):
+        p_c, sq_c, valid_c, base = inputs
+        # pairwise squared distances of this chunk against all points
+        d = sq_c[:, None] - 2.0 * (p_c @ points.T) + sq[None, :]  # [chunk, N]
+        # mask out invalid neighbors and self
+        col = jnp.arange(n)[None, :]
+        row = base + jnp.arange(chunk)[:, None]
+        d = jnp.where(valid_mask[None, :] & (col != row), d, big)
+        # k smallest via negated top_k
+        neg_top, _ = jax.lax.top_k(-d, k)
+        mean_d = jnp.mean(jnp.maximum(-neg_top, 0.0), axis=-1)
+        mean_d = jnp.where(valid_c, mean_d, 0.0)
+        return carry, mean_d
+
+    n_chunks = (n + n_pad) // chunk
+    bases = jnp.arange(n_chunks) * chunk
+    _, out = jax.lax.scan(
+        row_chunk,
+        None,
+        (
+            pts_pad.reshape(n_chunks, chunk, 3),
+            sq_pad.reshape(n_chunks, chunk),
+            valid_pad.reshape(n_chunks, chunk),
+            bases,
+        ),
+    )
+    return out.reshape(-1)[:n]

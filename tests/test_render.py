@@ -1,0 +1,150 @@
+"""Renderer tests: tiled TPU renderer vs the independent golden model, and
+gradient checks for Gaussian parameters and the SE(3) pose tangent."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from monogs_tpu.ops import se3
+from monogs_tpu.render import (
+    GaussianArrays,
+    Intrinsics,
+    RenderConfig,
+    render,
+    render_golden,
+)
+
+INTR = Intrinsics(fx=60.0, fy=60.0, cx=31.5, cy=23.5, width=64, height=48)
+CFG = RenderConfig(tile=16, macro_tiles=2, k_macro=256, k_fine=128)
+
+
+def make_scene(n=64, seed=0, spread=1.0, z0=3.0):
+    key = jax.random.PRNGKey(seed)
+    k1, k2, k3, k4, k5 = jax.random.split(key, 5)
+    xyz = jnp.concatenate(
+        [
+            spread * jax.random.normal(k1, (n, 2)),
+            z0 + 0.5 * jax.random.normal(k2, (n, 1)),
+        ],
+        axis=-1,
+    )
+    sh = jax.random.uniform(k3, (n, 1, 3), minval=-1.0, maxval=1.0)
+    log_scale = jnp.log(0.05 + 0.1 * jax.random.uniform(k4, (n, 3)))
+    quat = jax.random.normal(k5, (n, 4)) + jnp.array([2.0, 0, 0, 0])
+    opa = jnp.full((n, 1), 1.5)
+    active = jnp.ones((n,), bool)
+    return GaussianArrays(
+        xyz=xyz, sh=sh, log_scale=log_scale, quat=quat, opa_logit=opa, active=active
+    )
+
+
+def test_tiled_matches_golden():
+    gauss = make_scene(96)
+    T = jnp.eye(4)
+    out_g = render_golden(gauss, T, INTR)
+    out_t = render(gauss, T, INTR, CFG)
+    np.testing.assert_allclose(out_t.image, out_g.image, atol=2e-5)
+    np.testing.assert_allclose(out_t.depth, out_g.depth, atol=2e-4)
+    np.testing.assert_allclose(out_t.opacity, out_g.opacity, atol=2e-5)
+    np.testing.assert_array_equal(out_t.n_touched, out_g.n_touched)
+    np.testing.assert_array_equal(out_t.radii, out_g.radii)
+
+
+def test_tiled_matches_golden_rotated_camera():
+    gauss = make_scene(80, seed=3)
+    tau = jnp.array([0.05, -0.02, 0.1, 0.03, -0.05, 0.02])
+    T = se3.se3_exp(tau)
+    out_g = render_golden(gauss, T, INTR)
+    out_t = render(gauss, T, INTR, CFG)
+    np.testing.assert_allclose(out_t.image, out_g.image, atol=2e-5)
+
+
+def test_background_compositing():
+    gauss = make_scene(4, spread=0.05)
+    bg = jnp.array([0.2, 0.4, 0.6])
+    out = render(gauss, jnp.eye(4), INTR, CFG, bg=bg)
+    # far corner pixels should be pure background
+    corner = np.asarray(out.image[:, 0, 0])
+    np.testing.assert_allclose(corner, np.asarray(bg), atol=1e-4)
+
+
+def test_empty_map_renders_background():
+    gauss = make_scene(8)
+    gauss = gauss._replace(active=jnp.zeros((8,), bool))
+    out = render(gauss, jnp.eye(4), INTR, CFG)
+    assert float(jnp.abs(out.image).max()) == 0.0
+    assert int(out.n_touched.sum()) == 0
+
+
+def test_grads_match_golden():
+    """Gradients of the tiled renderer match the golden model's autodiff."""
+    gauss = make_scene(48, seed=5)
+    T = jnp.eye(4)
+    target = render_golden(gauss, T, INTR).image + 0.05
+    active = gauss.active
+
+    def rebuild(leaves):
+        return GaussianArrays(*leaves, active=active)
+
+    leaves0 = (gauss.xyz, gauss.sh, gauss.log_scale, gauss.quat, gauss.opa_logit)
+
+    def loss_tiled(leaves, tau):
+        out = render(rebuild(leaves), T, INTR, CFG, tau=tau)
+        return jnp.mean(jnp.abs(out.image - target))
+
+    def loss_golden(leaves, tau):
+        out = render_golden(rebuild(leaves), T, INTR, tau=tau)
+        return jnp.mean(jnp.abs(out.image - target))
+
+    tau0 = jnp.zeros(6)
+    gt_g, gt_tau = jax.grad(loss_golden, argnums=(0, 1))(leaves0, tau0)
+    tt_g, tt_tau = jax.grad(loss_tiled, argnums=(0, 1))(leaves0, tau0)
+    np.testing.assert_allclose(tt_tau, gt_tau, rtol=1e-3, atol=1e-6)
+    names = ["xyz", "sh", "log_scale", "quat", "opa_logit"]
+    for name, a, b in zip(names, tt_g, gt_g):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_pose_grad_finite_difference():
+    """Analytic pose-tangent gradient vs central finite differences."""
+    gauss = make_scene(32, seed=7)
+    T = jnp.eye(4)
+    target = render_golden(gauss, T, INTR).image * 0.9
+
+    def loss(tau):
+        out = render(gauss, T, INTR, CFG, tau=tau)
+        return jnp.mean((out.image - target) ** 2)
+
+    tau0 = jnp.zeros(6)
+    g = jax.grad(loss)(tau0)
+    eps = 1e-4
+    for i in range(6):
+        e = jnp.zeros(6).at[i].set(eps)
+        fd = (loss(tau0 + e) - loss(tau0 - e)) / (2 * eps)
+        assert float(jnp.abs(g[i] - fd)) < 5e-3 * max(1.0, abs(float(fd))), (
+            f"dim {i}: analytic {g[i]} vs fd {fd}"
+        )
+
+
+def test_means2d_offset_grad_nonzero():
+    gauss = make_scene(32, seed=9)
+    T = jnp.eye(4)
+
+    def loss(off):
+        out = render(gauss, T, INTR, CFG, means2d_offset=off)
+        return jnp.mean(out.image**2)
+
+    g = jax.grad(loss)(jnp.zeros((32, 2)))
+    assert np.isfinite(np.asarray(g)).all()
+    assert float(jnp.abs(g).max()) > 0
+
+
+def test_fine_capacity_overflow_drops_farthest():
+    """With a tiny per-tile capacity the nearest Gaussians must win."""
+    small = RenderConfig(tile=16, macro_tiles=2, k_macro=256, k_fine=4)
+    gauss = make_scene(64, seed=11, spread=0.2)
+    out_small = render(gauss, jnp.eye(4), INTR, small)
+    out_full = render(gauss, jnp.eye(4), INTR, CFG)
+    # truncated render must keep opacity <= full render (+eps), never exceed
+    assert float((out_small.opacity - out_full.opacity).max()) < 1e-4
