@@ -1,0 +1,114 @@
+#!/usr/bin/env python
+"""Benchmark: monocular tracking throughput on real TPU hardware.
+
+Measures the headline number from BASELINE.md — tracking FPS on a TUM-like
+640x480 monocular workload (the reference: up to 10 fps on an RTX 4090,
+README.md:45) — using the framework's fused tracking program (40 first-order
+Adam iterations + 10 sketched second-order iterations per frame, the
+reference's "Hybrid" RGN configuration) against a ~100k-Gaussian map.
+
+No public datasets exist in this environment, so frames are rendered from a
+synthetic Gaussian scene with the framework's own renderer; the tracked map
+IS the scene (tracking-only benchmark, map fixed), which matches how the
+reference measures per-frame tracking time (slam_frontend.py:827-880).
+
+Prints ONE json line:
+  {"metric": ..., "value": N, "unit": "fps", "vs_baseline": N/10}
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose
+    from monogs_tpu.render import Intrinsics, RenderConfig, render
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, track_frame
+
+    intr = Intrinsics(
+        fx=535.4, fy=539.2, cx=320.1, cy=247.6, width=640, height=480
+    )
+    # macro_chunk bounds the blend's transient memory (sequential lax.map
+    # over macro-tile chunks instead of one big vmap)
+    cfg = RenderConfig(
+        tile=16, macro_tiles=8, k_macro=4096, k_fine=512, macro_chunk=4
+    )
+    tcfg = TrackConfig(
+        monocular=True, fo_max_iter=40, so_max_iter=10,
+        stack_dim=16, sketch_dim=64,
+    )
+
+    n_gauss = 100_000
+    scene = make_synthetic_scene(
+        jax.random.PRNGKey(0), n=n_gauss, spread=2.2, depth_mean=3.0,
+        depth_spread=0.8, scale_min=0.015, scale_max=0.05,
+    )
+
+    n_frames = 20
+    print(f"[bench] rendering {n_frames} frames at 640x480, "
+          f"{n_gauss} gaussians", file=sys.stderr, flush=True)
+    rj = jax.jit(
+        lambda T: render(scene, T, intr, cfg._replace(with_n_touched=False))
+    )
+    frames = []
+    poses = []
+    for i in range(n_frames + 1):
+        T = orbit_pose(i / 400.0, trans_amp=0.8, rot_amp=0.15)
+        out = rj(T)
+        frames.append(jnp.clip(out.image, 0.0, 1.0))
+        poses.append(T)
+    jax.block_until_ready(frames[-1])
+
+    datas = [
+        make_frame_data(img, None, 1.1, 0.01, "tum") for img in frames
+    ]
+
+    def one(i):
+        # track frame i+1 starting from frame i's pose (constant-position
+        # seed, as the reference frontend does)
+        return track_frame(
+            scene, datas[i + 1], poses[i], jnp.float32(1.0), jnp.float32(0.0),
+            jax.random.PRNGKey(i), intr, cfg, tcfg,
+        )
+
+    print("[bench] compiling tracking program...", file=sys.stderr, flush=True)
+    t0 = time.time()
+    res = one(0)
+    jax.block_until_ready(res.T)
+    print(f"[bench] compile+first frame: {time.time()-t0:.1f}s",
+          file=sys.stderr, flush=True)
+
+    t0 = time.time()
+    errs = []
+    for i in range(n_frames):
+        res = one(i)
+        jax.block_until_ready(res.T)
+        errs.append(res)
+    elapsed = time.time() - t0
+    fps = n_frames / elapsed
+
+    # sanity: tracking must actually converge, not just run fast
+    from monogs_tpu.ops import se3
+
+    final_err = float(se3.pose_diff(errs[-1].T, poses[n_frames])[0])
+    print(
+        f"[bench] {fps:.2f} fps ({elapsed/n_frames*1000:.1f} ms/frame), "
+        f"last-frame pose error {final_err*1000:.2f} mm",
+        file=sys.stderr, flush=True,
+    )
+
+    print(json.dumps({
+        "metric": "mono_tum_like_tracking_fps_640x480_100k",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 10.0, 3),
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()

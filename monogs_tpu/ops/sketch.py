@@ -39,8 +39,9 @@ class SketchSpec(NamedTuple):
     chunk: int
 
 
-@functools.partial(jax.jit, static_argnames=("m", "stack_dim", "sketch_dim"))
 def make_sketch(key, m: int, stack_dim: int, sketch_dim: int) -> SketchSpec:
+    # NOTE: deliberately not jitted on its own — jit would trace the static
+    # d/chunk fields into arrays; callers jit the enclosing computation.
     d = stack_dim * sketch_dim
     chunk = m // d
     k1, k2 = jax.random.split(key)

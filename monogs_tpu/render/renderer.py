@@ -38,16 +38,18 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se3
+from ..ops.scan import blocked_cumprod_excl, blocked_cumsum
 from .camera import Intrinsics
 from .primitives import preprocess
-from .tiling import compact_indices, tile_overlap_mask
+from .tiling import compact_sort, tile_overlap_mask
 
 _ALPHA_MIN = 1.0 / 255.0
 _T_EPS = 1e-4
 
-# packed feature column layout
-_U, _V, _CA, _CB, _CC, _OPA, _R0, _G0, _B0, _Z, _RAD = range(11)
-_F = 11
+# packed feature column layout (padded to 16 columns for layout-friendly
+# row gathers; _LOGO = log opacity precomputed for the factorized blend)
+_U, _V, _CA, _CB, _CC, _OPA, _R0, _G0, _B0, _Z, _RAD, _LOGO = range(12)
+_F = 16
 
 
 class GaussianArrays(NamedTuple):
@@ -70,6 +72,7 @@ class RenderConfig(NamedTuple):
     near: float = 0.2
     macro_chunk: int = 0    # >0: process macro tiles in chunks of this size
     with_n_touched: bool = True
+    fine_mode: str = "sort"  # "sort" (lax.sort compaction) | "onehot" (MXU)
 
     @property
     def macro_px(self) -> int:
@@ -89,30 +92,54 @@ class RenderResult(NamedTuple):
 
 
 def _pack(prep):
+    cols = [
+        prep.mean2d[:, 0],
+        prep.mean2d[:, 1],
+        prep.conic[:, 0],
+        prep.conic[:, 1],
+        prep.conic[:, 2],
+        prep.opacity,
+        prep.rgb[:, 0],
+        prep.rgb[:, 1],
+        prep.rgb[:, 2],
+        prep.z,
+        prep.radius,
+        jnp.log(jnp.maximum(prep.opacity, 1e-12)),
+    ]
+    cols += [jnp.zeros_like(prep.z)] * (_F - len(cols))
+    return jnp.stack(cols, axis=-1)
+
+
+def _pixel_basis(px_local, py_local):
+    """[6, P] per-tile pixel polynomial basis for the factorized log-alpha
+    matmul (shared by every tile since it uses tile-local coordinates)."""
     return jnp.stack(
         [
-            prep.mean2d[:, 0],
-            prep.mean2d[:, 1],
-            prep.conic[:, 0],
-            prep.conic[:, 1],
-            prep.conic[:, 2],
-            prep.opacity,
-            prep.rgb[:, 0],
-            prep.rgb[:, 1],
-            prep.rgb[:, 2],
-            prep.z,
-            prep.radius,
+            px_local * px_local,
+            px_local * py_local,
+            py_local * py_local,
+            px_local,
+            py_local,
+            jnp.ones_like(px_local),
         ],
-        axis=-1,
+        axis=0,
     )
 
 
-def _blend(data, vld, px, py, bg, pix_ok):
+def _blend(data, vld, tx0, ty0, pmat, bg, pix_ok):
     """Dense front-to-back composite of a depth-ordered Gaussian list.
 
     data: [K, F] packed features (depth-ascending), vld: [K] bool,
-    px/py: [P] pixel coords, bg: [3].
+    tx0/ty0: tile origin (pixels), pmat: [6, P] pixel basis, bg: [3].
     Returns color [P,3], depth [P], acc_alpha [P], contrib [K,P] bool.
+
+    TPU-first formulation: the per-pixel log-alpha s = -0.5*q + log(opacity)
+    is a bilinear form in per-Gaussian coefficients and the pixel polynomial
+    basis, i.e. ONE [K,6]x[6,P] MXU matmul per tile instead of K*P scalar
+    quadratic evaluations. Tile-local coordinates keep the expansion well
+    conditioned in float32. The transmittance recurrence is an associative
+    scan (blocked exclusive cumprod), and the color/depth/alpha reduction is
+    a single [P,K]x[K,5] matmul.
 
     Equivalence to the sequential CUDA loop: our running transmittance
     includes every alpha that passed the 1/255 test, so once
@@ -120,27 +147,64 @@ def _blend(data, vld, px, py, bg, pix_ok):
     exactly the sticky `done` flag of the CUDA kernel, with identical weights
     for every gaussian composited before termination.
     """
-    dx = data[:, _U, None] - px[None, :]   # [K, P]
-    dy = data[:, _V, None] - py[None, :]
-    power = (
-        -0.5 * (data[:, _CA, None] * dx * dx + data[:, _CC, None] * dy * dy)
-        - data[:, _CB, None] * dx * dy
+    ul = data[:, _U] - tx0
+    vl = data[:, _V] - ty0
+    a = data[:, _CA]
+    b = data[:, _CB]
+    c = data[:, _CC]
+    log_opa = data[:, _LOGO]
+    G = jnp.stack(
+        [
+            -0.5 * a,
+            -b,
+            -0.5 * c,
+            a * ul + b * vl,
+            b * ul + c * vl,
+            -0.5 * (a * ul * ul + 2.0 * b * ul * vl + c * vl * vl) + log_opa,
+        ],
+        axis=-1,
+    )  # [K, 6]
+    # full f32 matmul: the TPU default bf16 passes would quantize log-alpha
+    # by ~1e-2 (visible banding + wrong gradients)
+    s = jnp.dot(
+        G, pmat, precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # [K, P]
+    alpha = jnp.minimum(0.99, jnp.exp(jnp.minimum(s, 2.0)))
+    # s <= log_opa  <=>  power <= 0 (the CUDA degenerate-conic guard); the
+    # 1e-4 slack absorbs factorized-matmul rounding at the gaussian center
+    ok = (
+        vld[:, None]
+        & pix_ok[None, :]
+        & (s <= log_opa[:, None] + 1e-4)
+        & (alpha >= _ALPHA_MIN)
     )
-    alpha = jnp.minimum(0.99, data[:, _OPA, None] * jnp.exp(power))
-    # pix_ok masks pixels of the padded canvas that lie outside the real
-    # image, so n_touched counts only true image pixels.
-    ok = vld[:, None] & pix_ok[None, :] & (power <= 0.0) & (alpha >= _ALPHA_MIN)
     alpha = jnp.where(ok, alpha, 0.0)
     one_minus = 1.0 - alpha
-    t_incl = jnp.cumprod(one_minus, axis=0)
-    t_excl = jnp.concatenate(
-        [jnp.ones_like(t_incl[:1]), t_incl[:-1]], axis=0
-    )
+    import math as _math
+
+    blk = _math.gcd(one_minus.shape[0], 16)
+    t_excl, t_incl = blocked_cumprod_excl(one_minus, axis=0, block=blk)
     contrib = ok & (t_excl * one_minus >= _T_EPS)
     w = jnp.where(contrib, alpha * t_excl, 0.0)  # [K, P]
-    color = jnp.einsum("kp,kc->pc", w, data[:, _R0:_B0 + 1])
-    depth = jnp.einsum("kp,k->p", w, data[:, _Z])
-    acc_alpha = jnp.sum(w, axis=0)
+    feats = jnp.stack(
+        [
+            data[:, _R0],
+            data[:, _G0],
+            data[:, _B0],
+            data[:, _Z],
+            jnp.ones_like(ul),
+        ],
+        axis=-1,
+    )  # [K, 5]
+    outs = jnp.einsum(
+        "kp,kf->pf", w, feats,
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )  # one [P,K]x[K,5] matmul
+    color = outs[:, :3]
+    depth = outs[:, 3]
+    acc_alpha = outs[:, 4]
     color = color + (1.0 - acc_alpha)[:, None] * bg[None, :]
     return color, depth, acc_alpha, contrib
 
@@ -200,8 +264,7 @@ def render(
         m = tile_overlap_mask(
             packed[:, :2], packed[:, _RAD], valid_s, x0, y0, x0 + mpx, y0 + mpx
         )
-        sel, vld, _ = compact_indices(m, cfg.k_macro)
-        return sel, vld
+        return compact_sort(m, cfg.k_macro)
 
     sel_m, vld_m = jax.vmap(macro_bin)(x0m, y0m)      # [Tm, Km]
     data_m = packed[sel_m]                            # [Tm, Km, F]
@@ -210,6 +273,7 @@ def render(
     fy_off = (jnp.arange(ft, dtype=jnp.int32) // cfg.macro_tiles) * tile
     px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
     py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px_local, py_local)
 
     @jax.checkpoint
     def do_macro(data, vld, x0, y0):
@@ -219,12 +283,39 @@ def render(
             fm = tile_overlap_mask(
                 data[:, :2], data[:, _RAD], vld, tx0, ty0, tx0 + tile, ty0 + tile
             )
-            sel_f, vld_f, _ = compact_indices(fm, cfg.k_fine)
-            d = data[sel_f]
+            if cfg.fine_mode == "onehot":
+                # compaction as an MXU matmul: cs assigns each selected entry
+                # its slot; the one-hot [Kf, Km] row-selector gathers data
+                # without any sort or dynamic indexing
+                cs = blocked_cumsum(fm.astype(jnp.float32))
+                slot = jnp.where(fm, cs, 0.0)
+                onehot = (
+                    slot[None, :]
+                    == jnp.arange(1, cfg.k_fine + 1, dtype=jnp.float32)[:, None]
+                ).astype(jnp.float32)
+                d = jnp.dot(
+                    onehot, data, precision=jax.lax.Precision.HIGHEST,
+                    preferred_element_type=jnp.float32,
+                )
+                count = cs[-1]
+                vld_f = jnp.arange(cfg.k_fine) < jnp.minimum(count, cfg.k_fine)
+                sel_f = (
+                    jnp.dot(
+                        onehot,
+                        jnp.arange(data.shape[0], dtype=jnp.float32)[:, None],
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=jnp.float32,
+                    )[:, 0]
+                ).astype(jnp.int32)
+            else:
+                sel_f, vld_f = compact_sort(fm, cfg.k_fine)
+                d = data[sel_f]
             px = tx0 + px_local
             py = ty0 + py_local
             pix_ok = (px <= W - 1) & (py <= H - 1)
-            color, depth, acc, contrib = _blend(d, vld_f, px, py, bg, pix_ok)
+            color, depth, acc, contrib = _blend(
+                d, vld_f, tx0, ty0, pmat, bg, pix_ok
+            )
             if cfg.with_n_touched:
                 cnt = jnp.sum(contrib, axis=1).astype(jnp.int32)  # [Kf]
                 return color, depth, acc, sel_f, cnt

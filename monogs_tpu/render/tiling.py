@@ -15,7 +15,26 @@ transmittance saturation, matching the CUDA early-termination behavior.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
+
+
+def compact_sort(mask, capacity: int):
+    """Indices of the first `capacity` set bits of `mask`, in order — via a
+    single jax.lax.sort of masked indices (unset bits sort to the sentinel M).
+
+    Equivalent to compact_indices but one fused sort instead of a lane-axis
+    cumsum + binary search; dramatically faster on TPU. Returns
+    (idx [capacity] int32, valid [capacity] bool).
+    """
+    m = mask.shape[0]
+    iota = jax.lax.broadcasted_iota(jnp.int32, (m,), 0)
+    keys = jnp.where(mask, iota, jnp.int32(m))
+    if m < capacity:
+        keys = jnp.pad(keys, (0, capacity - m), constant_values=m)
+    skeys = jax.lax.sort(keys, is_stable=False)[:capacity]
+    valid = skeys < m
+    return jnp.where(valid, skeys, 0), valid
 
 
 def compact_indices(mask, capacity: int):

@@ -1,0 +1,333 @@
+"""Tracking frontend: per-frame loop, keyframe policy, window management.
+
+Mirrors FrontEnd (/root/reference/utils/slam_frontend.py:55-2006): constant-
+velocity pose seeding after warmup, the fused tracking call (tracking.py),
+keyframe decision (is_keyframe + overlap checks), window management with
+monocular map-reset recovery, depth initialization for new keyframes, message
+handlers (sync_backend / keyframe / init / stop), and periodic ATE
+evaluation. Runs on the host; all hot-path math is inside the single
+track_frame device program.
+"""
+
+from __future__ import annotations
+
+import queue
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..render import RenderConfig
+from ..render.camera import Intrinsics
+from ..utils.logging import Log
+from .backend import Keyframe
+from .frame import Frame, make_frame_data
+from .keyframing import (
+    add_to_window,
+    is_keyframe,
+    keyframe_depth_init,
+    overlap_ratio,
+)
+from .tracking import TrackConfig, track_frame
+
+
+class FrontEnd:
+    def __init__(
+        self,
+        config: dict,
+        dataset,
+        intr: Intrinsics,
+        render_cfg: RenderConfig,
+        tcfg: TrackConfig,
+        frontend_queue,
+        backend_queue,
+        save_dir=None,
+        q_main2vis=None,
+        seed: int = 0,
+    ):
+        self.config = config
+        self.dataset = dataset
+        self.intr = intr
+        self.render_cfg = render_cfg
+        self.tcfg = tcfg
+        self.frontend_queue = frontend_queue
+        self.backend_queue = backend_queue
+        self.q_main2vis = q_main2vis
+        self.save_dir = save_dir
+
+        tr = config["Training"]
+        self.monocular = tr["monocular"]
+        self.kf_interval = tr["kf_interval"]
+        self.window_size = tr["window_size"]
+        self.kf_translation = tr["kf_translation"]
+        self.kf_min_translation = tr["kf_min_translation"]
+        self.kf_overlap = tr["kf_overlap"]
+        self.kf_cutoff = tr.get("kf_cutoff", 0.4)
+        self.edge_threshold = tr["edge_threshold"]
+        self.rgb_boundary_threshold = tr["rgb_boundary_threshold"]
+        self.single_thread = config["Dataset"].get("single_thread", False)
+        self.dataset_type = config["Dataset"].get("type", "tum")
+        self.save_results = config["Results"].get("save_results", False)
+        self.save_trj = config["Results"].get("save_trj", False)
+        self.save_trj_kf_intv = config["Results"].get("save_trj_kf_intv", 10)
+        self.constant_velocity_warmup = 200  # slam_frontend.py:181
+
+        self.initialized = not self.monocular
+        self.cameras: dict[int, Frame] = {}
+        self.kf_indices: list[int] = []
+        self.current_window: list[int] = []
+        self.occ_aware_visibility: dict[int, np.ndarray] = {}
+        self.gaussians = None
+        self.reset = True
+        self.requested_init = False
+        self.requested_keyframe = 0
+        self.use_every_n_frames = 1
+        self.median_depth = 4.0
+        self.pause = False
+        self._key = jax.random.PRNGKey(seed)
+        self._np_rng = np.random.default_rng(seed)
+        self._ate_log: list[tuple[int, float]] = []
+
+    # ------------------------------------------------------------------
+    def _next_key(self):
+        self._key, k = jax.random.split(self._key)
+        return k
+
+    def _load_frame(self, idx: int) -> Frame:
+        image, depth, pose = self.dataset[idx]
+        data = make_frame_data(
+            image, depth, self.edge_threshold, self.rgb_boundary_threshold,
+            self.dataset_type,
+        )
+        return Frame(
+            uid=idx, T=jnp.eye(4), T_gt=jnp.asarray(pose, jnp.float32),
+            data=data, depth_np=depth,
+        )
+
+    def add_new_keyframe(self, cur_frame_idx, depth=None, opacity=None,
+                         init=False):
+        """Depth map for Gaussian insertion (slam_frontend.py:183-234)."""
+        self.kf_indices.append(cur_frame_idx)
+        frame = self.cameras[cur_frame_idx]
+        gt_img = np.asarray(frame.data.gt_image)
+        valid_rgb = gt_img.sum(axis=0) > self.rgb_boundary_threshold
+        if self.monocular:
+            if depth is None:
+                initial = 2.0 * np.ones(gt_img.shape[1:], np.float32)
+                initial += (
+                    self._np_rng.standard_normal(initial.shape).astype(np.float32)
+                    * 0.3
+                )
+            else:
+                initial = keyframe_depth_init(
+                    np.asarray(depth[0]), np.asarray(opacity[0]), valid_rgb,
+                    self._np_rng,
+                )
+            return initial
+        initial = np.array(frame.depth_np, np.float32)
+        initial[~valid_rgb] = 0
+        return initial
+
+    def initialize(self, cur_frame_idx, frame: Frame):
+        """First-frame / reset handling (slam_frontend.py:236-252)."""
+        self.initialized = not self.monocular
+        self.kf_indices = []
+        self.occ_aware_visibility = {}
+        self.current_window = []
+        while not self.backend_queue.empty():
+            try:
+                self.backend_queue.get_nowait()
+            except queue.Empty:
+                break
+        frame.T = frame.T_gt
+        depth_map = self.add_new_keyframe(cur_frame_idx, init=True)
+        self.request_init(cur_frame_idx, frame, depth_map)
+        self.reset = False
+
+    def tracking(self, cur_frame_idx, frame: Frame):
+        """Pose seed + fused tracking (slam_frontend.py:340-902)."""
+        if (
+            self.initialized
+            and cur_frame_idx > self.constant_velocity_warmup
+            and self.monocular
+        ):
+            # the reference computes constant-velocity but then overrides with
+            # the previous pose (:349-358); keep that behavior
+            prev = self.cameras[cur_frame_idx - self.use_every_n_frames]
+            frame.T = prev.T
+        else:
+            prev = self.cameras[cur_frame_idx - self.use_every_n_frames]
+            frame.T = prev.T
+
+        res = track_frame(
+            self.gaussians.render_view(),
+            frame.data,
+            frame.T,
+            frame.exposure_a,
+            frame.exposure_b,
+            self._next_key(),
+            self.intr,
+            self.render_cfg,
+            self.tcfg,
+        )
+        frame.T = res.T
+        frame.exposure_a = res.ea
+        frame.exposure_b = res.eb
+        self.median_depth = float(res.median_depth)
+        return res
+
+    def request_keyframe(self, cur_frame_idx, frame: Frame, current_window,
+                         depthmap):
+        kf = Keyframe(
+            uid=cur_frame_idx, data=frame.data, T=frame.T,
+            ea=frame.exposure_a, eb=frame.exposure_b, T_gt=frame.T_gt,
+        )
+        self.backend_queue.put(
+            ["keyframe", cur_frame_idx, kf, current_window, depthmap]
+        )
+        self.requested_keyframe += 1
+
+    def request_init(self, cur_frame_idx, frame: Frame, depth_map):
+        kf = Keyframe(
+            uid=cur_frame_idx, data=frame.data, T=frame.T,
+            ea=frame.exposure_a, eb=frame.exposure_b, T_gt=frame.T_gt,
+        )
+        self.backend_queue.put(["init", cur_frame_idx, kf, depth_map])
+        self.requested_init = True
+
+    def sync_backend(self, data):
+        self.gaussians = data[1]
+        self.occ_aware_visibility = data[2]
+        for kf_id, kf_T in data[3]:
+            self.cameras[kf_id].T = kf_T
+
+    def cleanup(self, cur_frame_idx):
+        self.cameras[cur_frame_idx].clean()
+
+    def eval_ate_now(self, cur_frame_idx, final=False):
+        from ..eval.ate import eval_ate
+
+        ate = eval_ate(
+            self.cameras, self.kf_indices, self.save_dir, cur_frame_idx,
+            final=final, monocular=self.monocular,
+        )
+        self._ate_log.append((cur_frame_idx, ate))
+        return ate
+
+    # ------------------------------------------------------------------
+    def run(self):
+        cur_frame_idx = 0
+        while True:
+            if self.frontend_queue.empty():
+                if cur_frame_idx >= len(self.dataset):
+                    if self.save_results and self.save_trj:
+                        self.eval_ate_now(cur_frame_idx, final=True)
+                    break
+
+                if self.requested_init:
+                    time.sleep(0.01)
+                    continue
+                if self.single_thread and self.requested_keyframe > 0:
+                    time.sleep(0.01)
+                    continue
+                if not self.initialized and self.requested_keyframe > 0:
+                    time.sleep(0.001)
+                    continue
+
+                frame = self._load_frame(cur_frame_idx)
+                self.cameras[cur_frame_idx] = frame
+
+                if self.reset:
+                    self.initialize(cur_frame_idx, frame)
+                    self.current_window.append(cur_frame_idx)
+                    cur_frame_idx += 1
+                    continue
+
+                self.initialized = self.initialized or (
+                    len(self.current_window) == self.window_size
+                )
+
+                res = self.tracking(cur_frame_idx, frame)
+
+                if self.requested_keyframe > 0:
+                    self.cleanup(cur_frame_idx)
+                    cur_frame_idx += 1
+                    continue
+
+                last_keyframe_idx = self.current_window[0]
+                check_time = (
+                    cur_frame_idx - last_keyframe_idx
+                ) >= self.kf_interval
+                curr_visibility = np.asarray(res.n_touched) > 0
+                create_kf = is_keyframe(
+                    np.asarray(frame.T),
+                    np.asarray(self.cameras[last_keyframe_idx].T),
+                    self.median_depth,
+                    curr_visibility,
+                    self.occ_aware_visibility[last_keyframe_idx],
+                    self.kf_translation,
+                    self.kf_min_translation,
+                    self.kf_overlap,
+                )
+                if len(self.current_window) < self.window_size:
+                    ratio = overlap_ratio(
+                        curr_visibility,
+                        self.occ_aware_visibility[last_keyframe_idx],
+                    )
+                    create_kf = check_time and ratio < self.kf_overlap
+                if self.single_thread:
+                    create_kf = check_time and create_kf
+
+                if create_kf:
+                    poses = {
+                        idx: np.asarray(self.cameras[idx].T)
+                        for idx in self.current_window + [cur_frame_idx]
+                    }
+                    self.current_window, removed = add_to_window(
+                        cur_frame_idx, curr_visibility,
+                        self.occ_aware_visibility, self.current_window,
+                        poses, self.window_size, self.kf_cutoff,
+                        self.initialized,
+                    )
+                    if self.monocular and not self.initialized and removed is not None:
+                        self.reset = True
+                        Log(
+                            "Keyframes lacks sufficient overlap to initialize "
+                            "the map, resetting."
+                        )
+                        cur_frame_idx += 1
+                        continue
+                    depth_map = self.add_new_keyframe(
+                        cur_frame_idx, depth=res.depth, opacity=res.opacity,
+                        init=False,
+                    )
+                    self.request_keyframe(
+                        cur_frame_idx, frame, self.current_window, depth_map
+                    )
+                else:
+                    self.cleanup(cur_frame_idx)
+
+                cur_frame_idx += 1
+
+                if (
+                    self.save_results
+                    and self.save_trj
+                    and create_kf
+                    and len(self.kf_indices) % self.save_trj_kf_intv == 0
+                ):
+                    Log("Evaluating ATE at frame: ", cur_frame_idx)
+                    self.eval_ate_now(cur_frame_idx)
+            else:
+                data = self.frontend_queue.get()
+                if data[0] == "sync_backend":
+                    self.sync_backend(data)
+                elif data[0] == "keyframe":
+                    self.sync_backend(data)
+                    self.requested_keyframe -= 1
+                elif data[0] == "init":
+                    self.sync_backend(data)
+                    self.requested_init = False
+                elif data[0] == "stop":
+                    Log("Frontend Stopped.")
+                    break

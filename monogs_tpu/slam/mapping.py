@@ -1,0 +1,369 @@
+"""Mapping backend optimization: fused keyframe-window bundle adjustment.
+
+Reimplements BackEnd.initialize_map / map / color_refinement
+(/root/reference/utils/slam_backend.py:91-368) as jitted device programs. A
+whole `map(window, iters=N)` call — N iterations of (render every window
+keyframe + 2 random past keyframes, photometric+depth loss, isotropic
+regularizer, Adam on map parameters and window poses/exposures with SE(3)
+retraction, densify/prune and opacity resets at their scheduled iterations)
+— is ONE device program driven by lax.fori_loop with a *dynamic* trip count,
+so the 10/150/300/1050-iteration variants share a single compilation.
+
+Differences from the reference dictated by TPU-native design, all documented:
+  - fixed-capacity map (models/gaussian_map.py) replaces optimizer surgery;
+  - random past keyframes are drawn per-iteration from a per-call staged
+    pool (the host stages `pool` views; the reference samples 2 fresh ones
+    from all of host RAM each iteration);
+  - densification stats accumulate per-view screen-space gradients through a
+    zero-valued [B, N, 2] hook (the torch screenspace_points trick);
+  - per-keyframe visibility (n_touched > 0) is computed once after the loop
+    rather than every iteration — its only consumers (covisibility pruning,
+    frontend sync) run after the call.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models import gaussian_map as gm
+from ..ops import losses, se3
+from ..render import RenderConfig, render
+from ..render.camera import Intrinsics
+from .frame import FrameData
+
+
+class MapConfig(NamedTuple):
+    """Static mapping hyperparameters (Training section + opt_params)."""
+
+    monocular: bool = True
+    alpha: float = 0.95
+    window_size: int = 8
+    pose_window: int = 3
+    pool_size: int = 2            # staged random past keyframes per call
+    lr_trans: float = 0.0005      # cam_trans_delta * 0.5 (slam_backend.py:461)
+    lr_rot: float = 0.0015        # cam_rot_delta * 0.5
+    lr_exposure_a: float = 0.01
+    lr_exposure_b: float = 0.01
+    densify_grad_threshold: float = 0.0002
+    gaussian_th: float = 0.7
+    gaussian_extent: float = 6.0  # cameras_extent * Training.gaussian_extent
+    gaussian_update_every: int = 150
+    gaussian_update_offset: int = 50
+    gaussian_reset: int = 2001
+    size_threshold: int = 20
+    init_gaussian_update: int = 100
+    init_gaussian_reset: int = 500
+    init_gaussian_th: float = 0.005
+    init_gaussian_extent: float = 180.0  # cameras_extent * init_gaussian_extent
+    densify_from_iter: int = 500
+    isotropic_weight: float = 10.0
+    lambda_dssim: float = 0.2
+    clone_cap: int = 8192
+    split_cap: int = 4096
+
+
+class CamBatch(NamedTuple):
+    """Stacked per-view tensors for the window (+ random pool)."""
+
+    gt_image: jax.Array      # [B, 3, H, W]
+    gt_depth: jax.Array      # [B, 1, H, W]
+    mapping_mask: jax.Array  # [B, 1, H, W]
+    T: jax.Array             # [B, 4, 4]
+    ea: jax.Array            # [B]
+    eb: jax.Array            # [B]
+    valid: jax.Array         # [B] slot in use
+    opt_pose: jax.Array      # [B] optimize pose (window rank < pose_window, uid != 0)
+    opt_exposure: jax.Array  # [B] optimize exposure (uid != 0)
+
+
+def empty_cam_batch(b: int, h: int, w: int) -> CamBatch:
+    z = jnp.zeros
+    return CamBatch(
+        gt_image=z((b, 3, h, w)), gt_depth=z((b, 1, h, w)),
+        mapping_mask=z((b, 1, h, w)),
+        T=jnp.tile(jnp.eye(4)[None], (b, 1, 1)),
+        ea=jnp.ones((b,)), eb=z((b,)),
+        valid=z((b,), bool), opt_pose=z((b,), bool), opt_exposure=z((b,), bool),
+    )
+
+
+def _mapping_loss_one(gauss, cam, tau, intr, cfg, mcfg: MapConfig,
+                      means2d_offset, initialization: bool):
+    """Render one view and compute its mapping loss (slam_utils.py:224-253)."""
+    out = render(gauss, cam.T, intr, cfg, tau=tau, means2d_offset=means2d_offset)
+    if mcfg.monocular:
+        loss = losses.mapping_loss_rgb(
+            out.image, cam.gt_image, cam.mapping_mask, cam.ea, cam.eb,
+            initialization=initialization,
+        )
+    else:
+        loss = losses.mapping_loss_rgbd(
+            out.image, out.depth, cam.gt_image, cam.gt_depth, cam.mapping_mask,
+            cam.ea, cam.eb, alpha=mcfg.alpha, initialization=initialization,
+        )
+    return loss, out.radii
+
+
+def _batch_loss(params: gm.ParamLeaves, taus, eas, ebs, cams: CamBatch,
+                active, means2d_offsets, intr, cfg, mcfg, initialization):
+    """Total mapping loss over the batch + isotropic regularizer.
+
+    taus/eas/ebs override the pose tangent and exposure of each view so that
+    gradients flow to them; renders run sequentially (lax.map) to bound
+    memory at B renders' worth of tile intermediates.
+    """
+    gauss = _gauss_view(params, active)
+
+    def one(args):
+        cam, tau, ea, eb, off = args
+        cam = cam._replace(ea=ea, eb=eb)
+        loss, radii = _mapping_loss_one(
+            gauss, cam, tau, intr, cfg, mcfg, off, initialization
+        )
+        return jnp.where(cam.valid, loss, 0.0), radii
+
+    per_view, radii = jax.lax.map(one, (cams, taus, eas, ebs, means2d_offsets))
+    total = jnp.sum(per_view)
+    scaling = jnp.exp(params.log_scale)
+    total = total + mcfg.isotropic_weight * losses.isotropic_reg(scaling, active)
+    return total, radii
+
+
+def _gauss_view(params: gm.ParamLeaves, active):
+    from ..render.renderer import GaussianArrays
+
+    return GaussianArrays(
+        xyz=params.xyz, sh=params.sh, log_scale=params.log_scale,
+        quat=params.quat, opa_logit=params.opa_logit, active=active,
+    )
+
+
+class MapStepCarry(NamedTuple):
+    m: gm.GaussianMap
+    cams: CamBatch          # window + pool stacked; poses/exposures updated
+    kf_adam_m: jax.Array    # [B, 8]
+    kf_adam_v: jax.Array    # [B, 8]
+    kf_adam_t: jax.Array
+    it_count: jax.Array     # global backend iteration counter
+    key: jax.Array
+
+
+@functools.partial(
+    jax.jit, static_argnames=("intr", "cfg", "mcfg", "hyper", "initialization")
+)
+def map_iters(
+    m: gm.GaussianMap,
+    cams: CamBatch,
+    n_iters,
+    it_count,
+    key,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    mcfg: MapConfig,
+    hyper: gm.MapHyper,
+    initialization: bool = False,
+):
+    """Run `n_iters` (dynamic) mapping iterations; returns (map, cams,
+    it_count, visibility [B, N] bool from a final n_touched pass).
+
+    Equivalent of BackEnd.map(window, iters=n) (slam_backend.py:157-333) and
+    BackEnd.initialize_map (:91-155) when initialization=True (single view,
+    init densify thresholds, no pose/exposure optimization, opacity reset at
+    init_gaussian_reset and densify_from_iter).
+    """
+    b = cams.T.shape[0]
+    n = m.capacity
+    cfg_iter = cfg._replace(with_n_touched=False)
+    lr8 = jnp.array(
+        [mcfg.lr_trans] * 3 + [mcfg.lr_rot] * 3
+        + [mcfg.lr_exposure_a, mcfg.lr_exposure_b],
+        jnp.float32,
+    )
+
+    def body(_, carry: MapStepCarry):
+        mc, cams_c, kam, kav, kat, itc, key = carry
+        itc = itc + 1
+        key, k_dens = jax.random.split(key)
+
+        taus0 = jnp.zeros((b, 6))
+        offs0 = jnp.zeros((b, n, 2))
+
+        (loss, radii), grads = jax.value_and_grad(
+            lambda params, taus, eas, ebs, offs: _batch_loss(
+                params, taus, eas, ebs, cams_c, mc.active, offs,
+                intr, cfg_iter, mcfg, initialization,
+            ),
+            argnums=(0, 1, 2, 3, 4),
+            has_aux=True,
+        )(mc.params, taus0, cams_c.ea, cams_c.eb, offs0)
+        g_params, g_tau, g_ea, g_eb, g_offs = grads
+
+        # densification stats: per-view screen-space grad norms for visible
+        # gaussians (visibility_filter = radii > 0), summed over views
+        # (add_densification_stats per view, slam_backend.py:292-299)
+        vis = (radii > 0) & cams_c.valid[:, None]          # [B, N]
+        norms = jnp.linalg.norm(g_offs, axis=-1)           # [B, N]
+        mc = mc._replace(
+            grad_accum=mc.grad_accum + jnp.sum(jnp.where(vis, norms, 0.0), 0),
+            denom=mc.denom + jnp.sum(vis, 0).astype(jnp.float32),
+            max_radii2d=jnp.maximum(
+                mc.max_radii2d, jnp.max(jnp.where(vis, radii, 0.0), 0)
+            ),
+        )
+
+        # map Adam step (the reference steps after densify bookkeeping; the
+        # xyz lr follows the previous iteration's schedule value)
+        mc = gm.adam_step(mc, g_params, hyper, step=itc - 1)
+
+        # densify / prune / opacity reset at scheduled iterations
+        if initialization:
+            do_dens = (itc % mcfg.init_gaussian_update) == 0
+            do_reset = (itc == mcfg.init_gaussian_reset) | (
+                itc == mcfg.densify_from_iter
+            )
+            dens_th, dens_extent, dens_size = (
+                mcfg.init_gaussian_th, mcfg.init_gaussian_extent, None,
+            )
+        else:
+            do_dens = (itc % mcfg.gaussian_update_every) == mcfg.gaussian_update_offset
+            do_reset = ((itc % mcfg.gaussian_reset) == 0) & jnp.logical_not(do_dens)
+            dens_th, dens_extent, dens_size = (
+                mcfg.gaussian_th, mcfg.gaussian_extent, mcfg.size_threshold,
+            )
+
+        def densify(mm):
+            return gm.densify_and_prune(
+                mm, k_dens, mcfg.densify_grad_threshold, dens_th, dens_extent,
+                dens_size, hyper, clone_cap=mcfg.clone_cap,
+                split_cap=mcfg.split_cap,
+            )
+
+        mc = jax.lax.cond(do_dens, densify, lambda mm: mm, mc)
+
+        if initialization:
+            mc = jax.lax.cond(do_reset, gm.reset_opacity, lambda mm: mm, mc)
+        else:
+            visible_any = jnp.any(vis, axis=0)
+            mc = jax.lax.cond(
+                do_reset,
+                lambda mm: gm.reset_opacity_nonvisible(mm, visible_any),
+                lambda mm: mm,
+                mc,
+            )
+
+        if not initialization:
+            # keyframe pose/exposure Adam + retraction (slam_backend.py:322-332)
+            g8 = jnp.concatenate([g_tau, g_ea[:, None], g_eb[:, None]], axis=-1)
+            opt_mask = jnp.concatenate(
+                [jnp.tile(cams_c.opt_pose[:, None], (1, 6)),
+                 jnp.tile(cams_c.opt_exposure[:, None], (1, 2))], axis=-1
+            )
+            g8 = jnp.where(opt_mask, g8, 0.0)
+            kat2 = kat + 1
+            kam2 = 0.9 * kam + 0.1 * g8
+            kav2 = 0.999 * kav + 0.001 * g8 * g8
+            d8 = -lr8 * (kam2 / (1 - 0.9**kat2)) / (
+                jnp.sqrt(kav2 / (1 - 0.999**kat2)) + 1e-8
+            )
+            d8 = jnp.where(opt_mask, d8, 0.0)
+            newT = jax.vmap(lambda T, d: se3.se3_exp(d) @ T)(cams_c.T, d8[:, :6])
+            cams_c = cams_c._replace(
+                T=newT, ea=cams_c.ea + d8[:, 6], eb=cams_c.eb + d8[:, 7]
+            )
+            kam, kav, kat = kam2, kav2, kat2
+
+        return MapStepCarry(mc, cams_c, kam, kav, kat, itc, key)
+
+    carry = MapStepCarry(
+        m=m, cams=cams,
+        kf_adam_m=jnp.zeros((b, 8)), kf_adam_v=jnp.zeros((b, 8)),
+        kf_adam_t=jnp.float32(0), it_count=it_count, key=key,
+    )
+    carry = jax.lax.fori_loop(0, n_iters, body, carry)
+
+    # final visibility pass with n_touched (consumed by covisibility pruning
+    # and the frontend sync; the reference recomputes it every iteration but
+    # only ever reads the latest value)
+    gauss = _gauss_view(carry.m.params, carry.m.active)
+
+    def vis_one(cam):
+        out = render(gauss, cam.T, intr, cfg)
+        return (out.n_touched > 0) & cam.valid
+
+    visibility = jax.lax.map(vis_one, carry.cams)
+    return carry.m, carry.cams, carry.it_count, visibility
+
+
+@functools.partial(
+    jax.jit, static_argnames=("mcfg", "prune_mode", "prune_coviz")
+)
+def covisibility_prune(
+    m: gm.GaussianMap,
+    visibility,       # [B, N] bool for the current window
+    window_kf_ids,    # [B] int32 (-1 for unused slots)
+    initialized,      # [] bool
+    mcfg: MapConfig,
+    prune_mode: str = "slam",
+    prune_coviz: int = 3,
+):
+    """Occlusion-aware pruning (slam_backend.py:259-290). Only ever applied
+    in monocular mode, matching the reference's `if ... and self.monocular`.
+    Returns (map, n_obs)."""
+    n_obs = jnp.sum(visibility, axis=0).astype(jnp.int32)
+    if prune_mode == "odometry":
+        to_prune = n_obs < 3
+    else:  # slam
+        sorted_ids = jnp.sort(window_kf_ids)[::-1]
+        cutoff_id = sorted_ids[2]  # 3rd most recent keyframe
+        mask = jnp.where(initialized, m.kf_id >= cutoff_id, m.kf_id >= 0)
+        to_prune = (n_obs <= prune_coviz) & mask
+    to_prune = to_prune & m.active
+    if mcfg.monocular:
+        m = gm.prune(m, to_prune)
+    return m, n_obs
+
+
+@functools.partial(jax.jit, static_argnames=("intr", "cfg", "mcfg", "hyper"))
+def color_refinement_iters(
+    m: gm.GaussianMap,
+    cams: CamBatch,     # staged pool of keyframes
+    n_iters,
+    key,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    mcfg: MapConfig,
+    hyper: gm.MapHyper,
+):
+    """Photometric-only refinement (slam_backend.py:335-368): per iteration
+    pick one random staged keyframe, loss = (1-λ)L1 + λ(1-SSIM) against the
+    raw gt (no exposure, no masks), Adam on map params with the xyz schedule
+    driven by the local refinement iteration."""
+    from ..ops.image import ssim as ssim_fn
+
+    b = cams.T.shape[0]
+    n_valid = jnp.maximum(jnp.sum(cams.valid.astype(jnp.int32)), 1)
+    cfg_iter = cfg._replace(with_n_touched=False)
+
+    def body(i, carry):
+        mc, key = carry
+        key, k1 = jax.random.split(key)
+        vi = jax.random.randint(k1, (), 0, n_valid)
+        cam = jax.tree.map(lambda x: x[vi], cams)
+
+        def loss_fn(params):
+            gauss = _gauss_view(params, mc.active)
+            out = render(gauss, cam.T, intr, cfg_iter)
+            l1 = jnp.mean(jnp.abs(out.image - cam.gt_image))
+            s = ssim_fn(out.image, cam.gt_image)
+            return (1.0 - mcfg.lambda_dssim) * l1 + mcfg.lambda_dssim * (1.0 - s)
+
+        g = jax.grad(loss_fn)(mc.params)
+        mc = gm.adam_step(mc, g, hyper, step=i + 1)
+        return mc, key
+
+    m, _ = jax.lax.fori_loop(0, n_iters, body, (m, key))
+    return m

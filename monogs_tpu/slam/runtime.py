@@ -1,0 +1,232 @@
+"""SLAM orchestrator: wires map, dataset, frontend, backend, queues, eval.
+
+Equivalent of the SLAM class in /root/reference/slam.py:26-202. The
+reference's three OS processes (frontend / backend / GUI over
+torch.multiprocessing CUDA-IPC queues) become host threads sharing immutable
+jax pytrees through plain queue.Queue — same message protocol, no
+serialization, no cloning (jax arrays are immutable so a "snapshot" is a
+reference). `single_thread: True` configs retain their deterministic
+semantics: the backend thread only maps on request and the frontend blocks
+on the keyframe acknowledgement.
+"""
+
+from __future__ import annotations
+
+import math
+import queue
+import threading
+import time
+
+from ..models import gaussian_map as gm
+from ..render import RenderConfig
+from ..render.camera import Intrinsics
+from ..utils.logging import Log
+from .backend import BackEnd
+from .frontend import FrontEnd
+from .mapping import MapConfig
+from .tracking import TrackConfig
+
+
+def intrinsics_from_config(config) -> Intrinsics:
+    calib = config["Dataset"]["Calibration"]
+    return Intrinsics(
+        fx=float(calib["fx"]), fy=float(calib["fy"]),
+        cx=float(calib["cx"]), cy=float(calib["cy"]),
+        width=int(calib["width"]), height=int(calib["height"]),
+    )
+
+
+def render_config_from_config(config, intr: Intrinsics) -> RenderConfig:
+    tr = config["Training"]
+    rc = config.get("Renderer", {})
+    sh_degree = 3 if tr.get("spherical_harmonics", False) else 0
+    return RenderConfig(
+        tile=rc.get("tile", 16),
+        macro_tiles=rc.get("macro_tiles", 8),
+        k_macro=rc.get("k_macro", 4096),
+        k_fine=rc.get("k_fine", 512),
+        sh_degree=sh_degree,
+        macro_chunk=rc.get("macro_chunk", 0),
+    )
+
+
+def track_config_from_config(config) -> TrackConfig:
+    tr = config["Training"]
+    rgn = tr["RGN"]
+    lr = tr["lr"]
+    return TrackConfig(
+        monocular=tr["monocular"],
+        alpha=tr.get("alpha", 0.95),
+        use_huber=rgn["use_huber"],
+        huber_delta=rgn["huber_delta"],
+        pnorm=float(rgn["pnorm"]),
+        fo_max_iter=rgn["first_order"]["max_iter"],
+        so_max_iter=rgn["second_order"]["max_iter"],
+        lr_trans=lr["cam_trans_delta"],
+        lr_rot=lr["cam_rot_delta"],
+        lr_exposure_a=lr.get("exposure_a", 0.01),
+        lr_exposure_b=lr.get("exposure_b", 0.01),
+        stack_dim=rgn["second_order"]["stack_dim"],
+        sketch_dim=rgn["second_order"]["sketch_dim"],
+        initial_lambda=rgn["second_order"]["initial_lambda"],
+        max_lambda=rgn["second_order"]["max_lambda"],
+        min_lambda=rgn["second_order"]["min_lambda"],
+        increase_factor=rgn["second_order"]["increase_factor"],
+        decrease_factor=rgn["second_order"]["decrease_factor"],
+        so_converged=rgn["second_order"]["converged_threshold"],
+        use_first_order_best=rgn["second_order"].get("use_first_order_best", True),
+        use_best_loss=rgn.get("use_best_loss", True),
+    )
+
+
+def map_config_from_config(config, cameras_extent: float = 6.0) -> MapConfig:
+    tr = config["Training"]
+    opt = config["opt_params"]
+    lr = tr["lr"]
+    return MapConfig(
+        monocular=tr["monocular"],
+        alpha=tr.get("alpha", 0.95),
+        window_size=tr["window_size"],
+        pose_window=tr["pose_window"],
+        pool_size=config.get("Renderer", {}).get("pool_size", 2),
+        lr_trans=lr["cam_trans_delta"] * 0.5,
+        lr_rot=lr["cam_rot_delta"] * 0.5,
+        lr_exposure_a=lr.get("exposure_a", 0.01),
+        lr_exposure_b=lr.get("exposure_b", 0.01),
+        densify_grad_threshold=opt["densify_grad_threshold"],
+        gaussian_th=tr["gaussian_th"],
+        gaussian_extent=cameras_extent * tr["gaussian_extent"],
+        gaussian_update_every=tr["gaussian_update_every"],
+        gaussian_update_offset=tr["gaussian_update_offset"],
+        gaussian_reset=tr["gaussian_reset"],
+        size_threshold=tr["size_threshold"],
+        init_gaussian_update=tr["init_gaussian_update"],
+        init_gaussian_reset=tr["init_gaussian_reset"],
+        init_gaussian_th=tr["init_gaussian_th"],
+        init_gaussian_extent=cameras_extent * tr["init_gaussian_extent"],
+        densify_from_iter=opt["densify_from_iter"],
+        lambda_dssim=opt["lambda_dssim"],
+    )
+
+
+def map_hyper_from_config(config, spatial_lr_scale: float = 6.0) -> gm.MapHyper:
+    opt = config["opt_params"]
+    return gm.MapHyper(
+        position_lr_init=opt["position_lr_init"],
+        position_lr_final=opt["position_lr_final"],
+        position_lr_delay_mult=opt["position_lr_delay_mult"],
+        position_lr_max_steps=opt["position_lr_max_steps"],
+        feature_lr=opt["feature_lr"],
+        opacity_lr=opt["opacity_lr"],
+        scaling_lr=opt["scaling_lr"],
+        rotation_lr=opt["rotation_lr"],
+        percent_dense=opt["percent_dense"],
+        spatial_lr_scale=spatial_lr_scale,
+    )
+
+
+class SLAM:
+    def __init__(self, config, dataset=None, save_dir=None):
+        self.config = config
+        self.save_dir = save_dir
+        self.monocular = config["Dataset"]["sensor_type"] == "monocular"
+        config["Training"]["monocular"] = self.monocular
+        self.live_mode = config["Dataset"]["type"] == "realsense"
+        self.eval_rendering_on = config["Results"].get("eval_rendering", False)
+
+        if dataset is None:
+            from ..data.datasets import load_dataset
+
+            dataset = load_dataset(config)
+        self.dataset = dataset
+
+        self.intr = intrinsics_from_config(config)
+        self.render_cfg = render_config_from_config(config, self.intr)
+        self.tcfg = track_config_from_config(config)
+        self.mcfg = map_config_from_config(config)
+        self.hyper = map_hyper_from_config(config)
+
+        capacity = config.get("Renderer", {}).get("map_capacity", 1 << 17)
+        sh_degree = self.render_cfg.sh_degree
+        gaussians = gm.new_map(capacity, sh_degree=sh_degree)
+
+        self.frontend_queue = queue.Queue()
+        self.backend_queue = queue.Queue()
+
+        self.frontend = FrontEnd(
+            config, dataset, self.intr, self.render_cfg, self.tcfg,
+            self.frontend_queue, self.backend_queue, save_dir=save_dir,
+        )
+        self.backend = BackEnd(
+            config, gaussians, self.intr, self.render_cfg, self.mcfg,
+            self.hyper, self.frontend_queue, self.backend_queue,
+            live_mode=self.live_mode,
+            insert_cap=config.get("Renderer", {}).get("insert_cap", 32768),
+        )
+        self.frontend.gaussians = gaussians
+
+    def run(self):
+        backend_thread = threading.Thread(target=self.backend.run, daemon=True)
+        t0 = time.time()
+        backend_thread.start()
+        self.frontend.run()
+        self.backend_queue.put(["pause"])
+        elapsed = time.time() - t0
+
+        n_frames = len(self.frontend.cameras)
+        fps = n_frames / max(elapsed, 1e-9)
+        Log("Total time", elapsed, tag="Eval")
+        Log("Total FPS", fps, tag="Eval")
+        self.fps = fps
+        self.elapsed = elapsed
+
+        results = {"fps": fps, "n_frames": n_frames}
+        if self.eval_rendering_on:
+            from ..eval.ate import eval_ate
+            from ..eval.rendering import eval_rendering
+
+            self.gaussians = self.frontend.gaussians
+            kf_indices = self.frontend.kf_indices
+            ate = eval_ate(
+                self.frontend.cameras, kf_indices, self.save_dir, 0,
+                final=True, monocular=self.monocular,
+            )
+            before = eval_rendering(
+                self.frontend.cameras, self.gaussians, self.dataset,
+                self.save_dir, self.intr, self.render_cfg, kf_indices,
+                iteration="before_opt",
+            )
+            # color refinement round trip (slam.py:161-174)
+            while not self.frontend_queue.empty():
+                self.frontend_queue.get()
+            self.backend_queue.put(["color_refinement"])
+            while True:
+                if self.frontend_queue.empty():
+                    time.sleep(0.01)
+                    continue
+                data = self.frontend_queue.get()
+                if data[0] == "sync_backend" and self.frontend_queue.empty():
+                    self.gaussians = data[1]
+                    break
+            after = eval_rendering(
+                self.frontend.cameras, self.gaussians, self.dataset,
+                self.save_dir, self.intr, self.render_cfg, kf_indices,
+                iteration="after_opt",
+            )
+            results.update(
+                {"ate": ate, "before": before, "after": after}
+            )
+            if self.save_dir is not None:
+                from ..models.ply import save_ply
+                import os
+
+                path = os.path.join(
+                    self.save_dir, "point_cloud", "final", "point_cloud.ply"
+                )
+                save_ply(self.gaussians, path)
+
+        self.backend_queue.put(["stop"])
+        backend_thread.join(timeout=60)
+        Log("Backend stopped and joined the main thread")
+        self.results = results
+        return results

@@ -1,0 +1,90 @@
+"""End-to-end SLAM on a tiny synthetic RGB-D sequence (CPU).
+
+The synthetic sequence is rendered from a known Gaussian scene with the
+framework's own renderer; SLAM must rebuild a map from scratch and track the
+camera. Asserts: the run completes, keyframes are created, the map is
+populated, and keyframe ATE is small relative to the trajectory extent.
+"""
+
+import copy
+import os
+
+import numpy as np
+import pytest
+
+from monogs_tpu.slam.config import load_config
+from monogs_tpu.slam.runtime import SLAM
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def tiny_config(sensor="depth"):
+    cfg = load_config(os.path.join(REPO, "configs/synthetic/rgbd.yaml"))
+    cfg = copy.deepcopy(cfg)
+    cfg["Dataset"]["sensor_type"] = sensor
+    cfg["Dataset"]["Calibration"].update(
+        {"width": 160, "height": 128, "fx": 160.0, "fy": 160.0,
+         "cx": 79.5, "cy": 63.5}
+    )
+    # per-frame motion ~ trans_amp * 2*pi / n_frames; keep it at the
+    # 10-30mm/frame of a real handheld sequence (TUM-like) so the tracker's
+    # per-frame iteration budget applies, but large enough that the keyframe
+    # policy actually fires
+    cfg["Dataset"]["synthetic"] = {
+        "n_frames": 12, "n_gauss": 3000, "seed": 0,
+        "trans_amp": 0.015, "rot_amp": 0.005,
+        # linear pan: 0.14m sideways + 9 degrees yaw over the sequence,
+        # ~12mm + 1-2px image shift per frame (TUM-frame-rate-like motion)
+        # — sweeps the view so covisibility drops and keyframes fire
+        "pan": [0.14, 0.0, 0.03, 0.0, 0.16, 0.0],
+    }
+    cfg["Training"]["kf_translation"] = 0.01
+    cfg["Training"]["kf_min_translation"] = 0.005
+    # dense-enough insertion for the tiny test resolution (the reference's
+    # downsample factors assume 0.3-0.8 Mpixel frames)
+    cfg["Dataset"]["pcd_downsample"] = 8
+    cfg["Dataset"]["pcd_downsample_init"] = 4
+    cfg["Training"]["lr"]["cam_trans_delta"] = 0.002
+    cfg["Training"]["lr"]["cam_rot_delta"] = 0.006
+    cfg["Dataset"]["single_thread"] = True
+    cfg["Training"]["monocular"] = sensor == "monocular"
+    cfg["Training"]["init_itr_num"] = 120
+    cfg["Training"]["mapping_itr_num"] = 30
+    cfg["Training"]["window_size"] = 5
+    cfg["Training"]["pose_window"] = 3
+    cfg["Training"]["kf_interval"] = 2
+    cfg["Training"]["RGN"]["first_order"]["max_iter"] = 30
+    cfg["Training"]["RGN"]["second_order"]["max_iter"] = 4
+    cfg["Training"]["RGN"]["second_order"]["stack_dim"] = 4
+    cfg["Renderer"] = {
+        "map_capacity": 16384, "insert_cap": 4096,
+        "macro_tiles": 4, "k_macro": 2048, "k_fine": 256,
+    }
+    return cfg
+
+
+@pytest.mark.slow
+def test_rgbd_slam_end_to_end(tmp_path):
+    cfg = tiny_config("depth")
+    cfg["Results"]["save_results"] = True
+    cfg["Results"]["save_trj"] = True
+    cfg["Results"]["save_dir"] = str(tmp_path)
+    slam = SLAM(cfg, save_dir=str(tmp_path))
+    slam.run()
+
+    fe = slam.frontend
+    assert len(fe.cameras) == 12
+    assert len(fe.kf_indices) >= 2
+    assert int(slam.backend.gaussians.n_active) > 500
+
+    # keyframe ATE against ground truth
+    from monogs_tpu.eval.ate import evaluate_ate
+
+    gt = [np.linalg.inv(np.asarray(fe.cameras[i].T_gt)) for i in fe.kf_indices]
+    est = [np.linalg.inv(np.asarray(fe.cameras[i].T)) for i in fe.kf_indices]
+    rmse, _ = evaluate_ate(gt, est, monocular=False)
+    # trajectory extent is ~0.3m; demand cm-level tracking
+    assert rmse < 0.03, rmse
+
+    # trajectory artifacts written
+    assert (tmp_path / "plot").exists()
