@@ -34,9 +34,10 @@ def main():
         fx=535.4, fy=539.2, cx=320.1, cy=247.6, width=640, height=480
     )
     # macro_chunk bounds the blend's transient memory (sequential lax.map
-    # over macro-tile chunks instead of one big vmap)
+    # over macro-tile chunks instead of one big vmap); k_fine=256 is the
+    # measured sweet spot at this density
     cfg = RenderConfig(
-        tile=16, macro_tiles=8, k_macro=4096, k_fine=512, macro_chunk=4
+        tile=16, macro_tiles=8, k_macro=4096, k_fine=256, macro_chunk=4
     )
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=40, so_max_iter=10,

@@ -196,21 +196,41 @@ class MonocularDataset(BaseDataset):
             )
         self.has_depth = "depth_scale" in calibration
         self.depth_scale = calibration.get("depth_scale")
+        self._native = None  # prefetching C++ decoder, set up by subclasses
+
+    def _setup_native(self):
+        """Attach the native prefetching loader when built (native/)."""
+        from .native_loader import make_loader
+
+        self._native = make_loader(
+            self.color_paths,
+            self.depth_paths if self.has_depth else None,
+        )
+
+    def _load_raw(self, idx):
+        """(rgb HWC uint8 in RGB order, raw uint16 depth or None)."""
+        if self._native is not None:
+            try:
+                return self._native.get(idx)
+            except IOError:
+                pass  # fall back to cv2 below
+        image = cv2.imread(self.color_paths[idx])  # BGR
+        image = cv2.cvtColor(image, cv2.COLOR_BGR2RGB)
+        depth = None
+        if self.has_depth:
+            depth = cv2.imread(self.depth_paths[idx], cv2.IMREAD_ANYDEPTH)
+        return image, depth
 
     def __getitem__(self, idx):
         import jax.numpy as jnp
 
-        color_path = self.color_paths[idx]
         pose = self.poses[idx]
-        image = cv2.imread(color_path)  # BGR uint8, like lycon.load
+        image, depth_raw = self._load_raw(idx)
         depth = None
         if self.disorted:
             image = cv2.remap(image, self.map1x, self.map1y, cv2.INTER_LINEAR)
-        if self.has_depth:
-            depth = (
-                cv2.imread(self.depth_paths[idx], cv2.IMREAD_ANYDEPTH)
-                / self.depth_scale
-            )
+        if self.has_depth and depth_raw is not None:
+            depth = depth_raw / self.depth_scale
         image = (
             jnp.asarray(np.clip(image / 255.0, 0.0, 1.0), jnp.float32)
             .transpose(2, 0, 1)
@@ -312,6 +332,7 @@ class TUMDataset(MonocularDataset):
         self.color_paths = parser.color_paths
         self.depth_paths = parser.depth_paths
         self.poses = parser.poses
+        self._setup_native()
 
 
 class ReplicaDataset(MonocularDataset):
@@ -322,6 +343,7 @@ class ReplicaDataset(MonocularDataset):
         self.color_paths = parser.color_paths
         self.depth_paths = parser.depth_paths
         self.poses = parser.poses
+        self._setup_native()
 
 
 class EurocDataset(StereoDataset):

@@ -73,6 +73,8 @@ class RenderConfig(NamedTuple):
     macro_chunk: int = 0    # >0: process macro tiles in chunks of this size
     with_n_touched: bool = True
     fine_mode: str = "sort"  # "sort" (lax.sort compaction) | "onehot" (MXU)
+    backend: str = "xla"    # "xla" | "pallas" (fused fine-stage kernel)
+    pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
     @property
     def macro_px(self) -> int:
@@ -268,6 +270,42 @@ def render(
 
     sel_m, vld_m = jax.vmap(macro_bin)(x0m, y0m)      # [Tm, Km]
     data_m = packed[sel_m]                            # [Tm, Km, F]
+
+    if cfg.backend == "pallas" and not cfg.with_n_touched:
+        # fused Pallas fine-stage: mask-based binning + blend with early
+        # termination and a hand-derived backward (pallas_blend.py)
+        from .pallas_blend import blend_macros_pallas
+
+        p_loc = (jnp.arange(tile * tile, dtype=jnp.int32) % tile).astype(
+            jnp.float32
+        )
+        q_loc = (jnp.arange(tile * tile, dtype=jnp.int32) // tile).astype(
+            jnp.float32
+        )
+        pmat = _pixel_basis(p_loc, q_loc)
+        xy0 = jnp.stack([x0m, y0m], axis=-1)
+        counts = jnp.sum(vld_m, axis=1).astype(jnp.float32)
+        outs = blend_macros_pallas(
+            data_m, xy0, counts, pmat,
+            tile, cfg.macro_tiles, W, H, cfg.pallas_interpret,
+        )  # [Tm, ft, P, 8]
+        accs = outs[..., 4]
+        colors = outs[..., :3] + (1.0 - accs)[..., None] * bg[None, None, None, :]
+        depths = outs[..., 3]
+
+        def assemble_p(x, c):
+            x = x.reshape(n_my, n_mx, cfg.macro_tiles, cfg.macro_tiles,
+                          tile, tile, c)
+            x = x.transpose(0, 2, 4, 1, 3, 5, 6)
+            return x.reshape(n_my * mpx, n_mx * mpx, c)[:H, :W]
+
+        return RenderResult(
+            image=assemble_p(colors, 3).transpose(2, 0, 1),
+            depth=assemble_p(depths[..., None], 1).transpose(2, 0, 1),
+            opacity=assemble_p(accs[..., None], 1).transpose(2, 0, 1),
+            radii=prep.radius,
+            n_touched=jnp.zeros((n,), jnp.int32),
+        )
 
     fx_off = (jnp.arange(ft, dtype=jnp.int32) % cfg.macro_tiles) * tile
     fy_off = (jnp.arange(ft, dtype=jnp.int32) // cfg.macro_tiles) * tile

@@ -211,6 +211,23 @@ class BackEnd:
         self.occ_aware_visibility[cur_frame_idx] = np.asarray(vis[0])
         Log("Initialized map")
 
+        if self.save_initial_ply:
+            # save the post-init map and stop (slam_backend.py:148-153)
+            import os
+
+            from ..models.ply import save_ply
+
+            Log("Saving initial ply")
+            save_ply(
+                self.gaussians,
+                os.path.join(
+                    self.config["Results"].get("save_dir", "results") or ".",
+                    "frame1.ply",
+                ),
+            )
+            self.backend_queue.put(["stop"])
+            self.frontend_queue.put(["stop"])
+
     def map(self, window, prune=False, iters=1, frames_to_optimize=None):
         """BackEnd.map (:157-333). prune=True runs the covisibility prune
         (which in the reference skips all optimizer steps and returns)."""

@@ -11,6 +11,7 @@ track_frame device program.
 
 from __future__ import annotations
 
+import os
 import queue
 import time
 
@@ -44,6 +45,7 @@ class FrontEnd:
         backend_queue,
         save_dir=None,
         q_main2vis=None,
+        q_vis2main=None,
         seed: int = 0,
     ):
         self.config = config
@@ -54,6 +56,7 @@ class FrontEnd:
         self.frontend_queue = frontend_queue
         self.backend_queue = backend_queue
         self.q_main2vis = q_main2vis
+        self.q_vis2main = q_vis2main
         self.save_dir = save_dir
 
         tr = config["Training"]
@@ -88,6 +91,22 @@ class FrontEnd:
         self._key = jax.random.PRNGKey(seed)
         self._np_rng = np.random.default_rng(seed)
         self._ate_log: list[tuple[int, float]] = []
+
+        # profiling / per-frame logs (SURVEY.md section 5; reference
+        # slam_frontend.py:131-146, 882-898)
+        from ..utils.profiling import ProfileLogger, StageTimers
+
+        rgn = tr.get("RGN", {})
+        self.timers = StageTimers(period=10)
+        self.profile_logger = None
+        if rgn.get("log_output", False):
+            logdir = os.path.join(
+                rgn.get("log_basedir", "outputs"),
+                time.strftime("%Y%m%d_%H%M"),
+            )
+            self.profile_logger = ProfileLogger(
+                logdir, save_period=rgn.get("save_period", 10)
+            )
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -160,6 +179,7 @@ class FrontEnd:
             prev = self.cameras[cur_frame_idx - self.use_every_n_frames]
             frame.T = prev.T
 
+        t0 = time.time()
         res = track_frame(
             self.gaussians.render_view(),
             frame.data,
@@ -171,10 +191,25 @@ class FrontEnd:
             self.render_cfg,
             self.tcfg,
         )
+        jax.block_until_ready(res.T)
+        elapsed = time.time() - t0
         frame.T = res.T
         frame.exposure_a = res.ea
         frame.exposure_b = res.eb
         self.median_depth = float(res.median_depth)
+        self.timers.add("tracking", elapsed)
+        self.timers.frame_done()
+        if self.profile_logger is not None:
+            self.profile_logger.log_frame(
+                cur_frame_idx,
+                tracking_ms=elapsed * 1000.0,
+                last_l1=float(res.last_l1),
+                fo_iters=int(res.fo_iters),
+                so_iters=int(res.so_iters),
+                pose=np.asarray(res.T),
+                exposure_a=float(res.ea),
+                exposure_b=float(res.eb),
+            )
         return res
 
     def request_keyframe(self, cur_frame_idx, frame: Frame, current_window,
@@ -202,8 +237,54 @@ class FrontEnd:
         for kf_id, kf_T in data[3]:
             self.cameras[kf_id].T = kf_T
 
+    def _send_gui_packet(self, cur_frame_idx, frame):
+        """Per-frame GUI update; full map snapshot every 5th frame
+        (slam_frontend.py:1891-1909)."""
+        if self.q_main2vis is None:
+            return
+        from ..gui.gui_utils import CameraMsg, GaussianPacket
+
+        keyframes = [
+            CameraMsg(uid=i, T=self.cameras[i].T, T_gt=self.cameras[i].T_gt)
+            for i in self.current_window
+        ]
+        kf_window = (
+            {self.current_window[0]: self.current_window[1:]}
+            if self.current_window
+            else {}
+        )
+        import numpy as np
+
+        pkt = GaussianPacket(
+            gaussians=self.gaussians if cur_frame_idx % 5 == 0 else None,
+            current_frame=CameraMsg(
+                uid=cur_frame_idx, T=frame.T, T_gt=frame.T_gt
+            ),
+            keyframes=keyframes,
+            kf_window=kf_window,
+            gtcolor=np.asarray(frame.data.gt_image) if frame.data else None,
+            gtdepth=frame.depth_np,
+        )
+        self.q_main2vis.put(pkt)
+
+    def _check_gui_pause(self):
+        """Packet_vis2main back-channel (slam_frontend.py:1828-1838)."""
+        if self.q_vis2main is None:
+            return False
+        import queue as _q
+
+        try:
+            data = self.q_vis2main.get_nowait()
+        except _q.Empty:
+            return self.pause
+        self.pause = data.flag_pause
+        self.backend_queue.put(["pause" if self.pause else "unpause"])
+        return self.pause
+
     def cleanup(self, cur_frame_idx):
         self.cameras[cur_frame_idx].clean()
+
+    metrics = None  # MetricsLogger, wired by the runtime
 
     def eval_ate_now(self, cur_frame_idx, final=False):
         from ..eval.ate import eval_ate
@@ -213,12 +294,18 @@ class FrontEnd:
             final=final, monocular=self.monocular,
         )
         self._ate_log.append((cur_frame_idx, ate))
+        if self.metrics is not None:
+            # wandb-style {step_metric, ate} record (eval_utils.py:110)
+            self.metrics.log({"frame_idx": cur_frame_idx, "ate": ate})
         return ate
 
     # ------------------------------------------------------------------
     def run(self):
         cur_frame_idx = 0
         while True:
+            if self._check_gui_pause():
+                time.sleep(0.05)
+                continue
             if self.frontend_queue.empty():
                 if cur_frame_idx >= len(self.dataset):
                     if self.save_results and self.save_trj:
@@ -249,6 +336,8 @@ class FrontEnd:
                 )
 
                 res = self.tracking(cur_frame_idx, frame)
+
+                self._send_gui_packet(cur_frame_idx, frame)
 
                 if self.requested_keyframe > 0:
                     self.cleanup(cur_frame_idx)

@@ -153,9 +153,14 @@ class SLAM:
         self.frontend_queue = queue.Queue()
         self.backend_queue = queue.Queue()
 
+        self.use_gui = config["Results"].get("use_gui", False) or self.live_mode
+        self.q_main2vis = queue.Queue() if self.use_gui else None
+        self.q_vis2main = queue.Queue() if self.use_gui else None
+
         self.frontend = FrontEnd(
             config, dataset, self.intr, self.render_cfg, self.tcfg,
             self.frontend_queue, self.backend_queue, save_dir=save_dir,
+            q_main2vis=self.q_main2vis, q_vis2main=self.q_vis2main,
         )
         self.backend = BackEnd(
             config, gaussians, self.intr, self.render_cfg, self.mcfg,
@@ -165,8 +170,31 @@ class SLAM:
         )
         self.frontend.gaussians = gaussians
 
+        from ..utils.metrics import MetricsLogger
+
+        self.metrics = MetricsLogger(
+            save_dir=save_dir,
+            use_wandb=config["Results"].get("use_wandb", False),
+        )
+        self.frontend.metrics = self.metrics
+
     def run(self):
         backend_thread = threading.Thread(target=self.backend.run, daemon=True)
+        gui_thread = None
+        if self.use_gui:
+            from ..gui import ParamsGUI
+            from ..gui import slam_gui
+
+            params_gui = ParamsGUI(
+                q_main2vis=self.q_main2vis, q_vis2main=self.q_vis2main,
+                gaussians=self.backend.gaussians, intr=self.intr,
+                render_cfg=self.render_cfg,
+                port=self.config.get("Renderer", {}).get("gui_port", 8765),
+            )
+            gui_thread = threading.Thread(
+                target=slam_gui.run, args=(params_gui,), daemon=True
+            )
+            gui_thread.start()
         t0 = time.time()
         backend_thread.start()
         self.frontend.run()
@@ -216,6 +244,18 @@ class SLAM:
             results.update(
                 {"ate": ate, "before": before, "after": after}
             )
+            # Before/After metrics table (slam.py:150-193)
+            cols = ["tag", "psnr", "ssim", "lpips", "RMSE ATE", "FPS"]
+            self.metrics.log_table(
+                "metrics_table", cols,
+                [
+                    ["Before", before["mean_psnr"], before["mean_ssim"],
+                     before["mean_lpips"], ate, fps],
+                    ["After", after["mean_psnr"], after["mean_ssim"],
+                     after["mean_lpips"], ate, fps],
+                ],
+            )
+            self.metrics.finish()
             if self.save_dir is not None:
                 from ..models.ply import save_ply
                 import os
@@ -228,5 +268,11 @@ class SLAM:
         self.backend_queue.put(["stop"])
         backend_thread.join(timeout=60)
         Log("Backend stopped and joined the main thread")
+        if gui_thread is not None:
+            from ..gui.gui_utils import GaussianPacket
+
+            self.q_main2vis.put(GaussianPacket(finish=True))
+            gui_thread.join(timeout=10)
+            Log("GUI Stopped and joined the main thread")
         self.results = results
         return results

@@ -250,10 +250,11 @@ def track_frame(
                 ),
                 p,
             )
-            # evaluate the 8 tangent directions sequentially (lax.map, not
-            # vmap) — a vmapped JVP multiplies the blend's transient memory
-            # by 8, which OOMs at full resolution
-            SJ = jax.lax.map(jvp, jnp.eye(8)).T  # [d, 8]
+            # evaluate the 8 tangent directions in pairs of 4 (a fully
+            # vmapped JVP multiplies the blend's transient memory by 8,
+            # which OOMs at full resolution; batch_size=4 halves the wall
+            # time at 4x transient memory)
+            SJ = jax.lax.map(jvp, jnp.eye(8), batch_size=4).T  # [d, 8]
             x = damped_lstsq(SJ, Sf, lam)
 
             T = se3.se3_exp(x[:6]) @ s.T

@@ -20,6 +20,7 @@ if os.environ.get(_SANITIZED_FLAG) != "1" and (
     env[_SANITIZED_FLAG] = "1"
     env["PALLAS_AXON_POOL_IPS"] = ""
     env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONUNBUFFERED"] = "1"  # progress dots reach pipes immediately
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()

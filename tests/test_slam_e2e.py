@@ -88,3 +88,28 @@ def test_rgbd_slam_end_to_end(tmp_path):
 
     # trajectory artifacts written
     assert (tmp_path / "plot").exists()
+
+
+@pytest.mark.slow
+def test_mono_slam_end_to_end(tmp_path):
+    """Monocular pipeline: random-depth keyframe init, scale-free map,
+    Sim(3)-aligned ATE, covisibility pruning. Thresholds are loose — mono
+    SLAM on a 12-frame synthetic sequence is about exercising the code
+    paths (reset logic, mono depth init, Sim3 eval), not accuracy."""
+    cfg = tiny_config("monocular")
+    cfg["Results"]["save_results"] = False
+    slam = SLAM(cfg, save_dir=None)
+    slam.run()
+
+    fe = slam.frontend
+    assert len(fe.cameras) == 12
+    assert len(fe.kf_indices) >= 2
+    assert int(slam.backend.gaussians.n_active) > 200
+
+    from monogs_tpu.eval.ate import evaluate_ate
+
+    gt = [np.linalg.inv(np.asarray(fe.cameras[i].T_gt)) for i in fe.kf_indices]
+    est = [np.linalg.inv(np.asarray(fe.cameras[i].T)) for i in fe.kf_indices]
+    rmse, _ = evaluate_ate(gt, est, monocular=True)
+    assert np.isfinite(rmse)
+    assert rmse < 0.15, rmse
