@@ -25,6 +25,9 @@ import jax.numpy as jnp
 
 
 def main():
+    import monogs_tpu
+
+    monogs_tpu.enable_compilation_cache()
     from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose
     from monogs_tpu.render import Intrinsics, RenderConfig, render
     from monogs_tpu.slam.frame import make_frame_data

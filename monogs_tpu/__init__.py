@@ -21,3 +21,18 @@ Package layout:
 """
 
 __version__ = "0.1.0"
+
+
+def enable_compilation_cache(path: str | None = None):
+    """Persistent XLA compilation cache: repeated runs skip the 30-70s
+    first-frame compiles of the tracking/mapping programs."""
+    import os
+
+    import jax
+
+    path = path or os.path.join(
+        os.path.expanduser("~"), ".cache", "monogs_tpu", "xla"
+    )
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

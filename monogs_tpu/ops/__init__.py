@@ -1,1 +1,1 @@
-from . import se3, sh, image, losses, knn, sketch  # noqa: F401
+from . import se3, sh, image, losses, knn, scan, sketch  # noqa: F401

@@ -72,7 +72,7 @@ class RenderConfig(NamedTuple):
     near: float = 0.2
     macro_chunk: int = 0    # >0: process macro tiles in chunks of this size
     with_n_touched: bool = True
-    fine_mode: str = "sort"  # "sort" (lax.sort compaction) | "onehot" (MXU)
+    fine_mode: str = "sort"  # "sort" | "onehot" (MXU compaction)
     backend: str = "xla"    # "xla" | "pallas" (fused fine-stage kernel)
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
@@ -381,7 +381,16 @@ def render(
     else:
         colors, depths, accs, nt_m = jax.vmap(run_macro)(idxs)
 
-    # ---- assemble [Tm, ft, P, c] tiles into the image ----
+    return _finish_render(
+        colors, depths, accs, nt_m, prep, order, sel_m, vld_m,
+        n, n_mx, n_my, mpx, tile, cfg, H, W,
+    )
+
+
+def _finish_render(colors, depths, accs, nt_m, prep, order, sel_m, vld_m,
+                   n, n_mx, n_my, mpx, tile, cfg, H, W):
+    """Assemble [Tm, ft, P, c] tile outputs into images + global n_touched."""
+
     def assemble(x, c):
         x = x.reshape(n_my, n_mx, cfg.macro_tiles, cfg.macro_tiles, tile, tile, c)
         x = x.transpose(0, 2, 4, 1, 3, 5, 6)

@@ -16,9 +16,12 @@ from datetime import datetime
 
 import yaml
 
+import monogs_tpu
 from monogs_tpu.slam.config import load_config
 from monogs_tpu.slam.runtime import SLAM
 from monogs_tpu.utils.logging import Log
+
+monogs_tpu.enable_compilation_cache()
 
 
 def main(argv=None):

@@ -112,3 +112,61 @@ def test_native_loader_matches_cv2(tmp_path):
     ref = cv2.cvtColor(cv2.imread(jpg_path), cv2.COLOR_BGR2RGB)
     # jpeg decoders may differ by a few LSBs
     assert np.abs(rgb1.astype(int) - ref.astype(int)).mean() < 3.0
+
+
+def test_euroc_parser_and_stereo_depth(tmp_path):
+    """EuRoC layout + StereoSGBM disparity->depth path (dataset.py:283-395)."""
+    from monogs_tpu.data.datasets import EurocDataset
+
+    rng = np.random.default_rng(3)
+    for cam in ("cam0", "cam1"):
+        os.makedirs(tmp_path / "mav0" / cam / "data", exist_ok=True)
+    os.makedirs(tmp_path / "mav0" / "state_groundtruth_estimate0", exist_ok=True)
+    # textured image so SGBM finds some matches
+    base = (rng.uniform(0, 255, (48, 96)) ).astype(np.uint8)
+    rows = ["#ts,px,py,pz,qw,qx,qy,qz,..."]
+    for i in range(3):
+        ts = 1000000 + i * 50000
+        left = np.roll(base, i, axis=1)
+        right = np.roll(base, i + 4, axis=1)  # fixed disparity 4
+        cv2.imwrite(str(tmp_path / "mav0/cam0/data" / f"{ts}.png"), left)
+        cv2.imwrite(str(tmp_path / "mav0/cam1/data" / f"{ts}.png"), right)
+        rows.append(f"{ts},{0.1*i},0,0,1,0,0,0," + ",".join(["0"] * 9))
+    (tmp_path / "mav0/state_groundtruth_estimate0/data.csv").write_text(
+        "\n".join(rows)
+    )
+
+    cfg = {
+        "Dataset": {
+            "type": "euroc",
+            "sensor_type": "stereo",
+            "dataset_path": str(tmp_path),
+            "Calibration": {
+                "width": 96, "height": 48, "distorted": False,
+                "cam0": {
+                    "raw": {"fx": 60, "fy": 60, "cx": 48, "cy": 24,
+                            "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0},
+                    "opt": {"fx": 60, "fy": 60, "cx": 48, "cy": 24,
+                            "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0},
+                    "R": {"rows": 3, "cols": 3,
+                          "data": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+                },
+                "cam1": {
+                    "raw": {"fx": 60, "fy": 60, "cx": 48, "cy": 24,
+                            "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0},
+                    "opt": {"fx": 60, "fy": 60, "cx": 48, "cy": 24,
+                            "k1": 0, "k2": 0, "p1": 0, "p2": 0, "k3": 0},
+                    "R": {"rows": 3, "cols": 3,
+                          "data": [1, 0, 0, 0, 1, 0, 0, 0, 1]},
+                },
+            },
+        }
+    }
+    ds = EurocDataset(cfg)
+    assert len(ds) == 3
+    img, depth, pose = ds[1]
+    assert img.shape == (3, 48, 96)
+    assert depth.shape == (48, 96)
+    assert (depth >= 0).all()
+    # gt pose applies the IMU->cam0 extrinsic then inverts
+    assert np.isfinite(np.asarray(pose)).all()
