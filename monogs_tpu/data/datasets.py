@@ -149,8 +149,12 @@ class EuRoCParser:
             color_ts = float(os.path.basename(self.color_paths[i]).split(".")[0])
             k = int(np.argmin(np.abs(pose_ts - color_ts)))
             trans = data[k, 1:4]
-            quat = data[k, 4:8]  # (w, x, y, z)
-            T_w_i = quaternion_matrix(np.roll(quat, 1))
+            # EuRoC stores q_RS as (w, x, y, z) already — NOTE: the reference
+            # applies np.roll(quat, 1) here (dataset.py:180), the fixup for
+            # TUM's (x,y,z,w) order, which scrambles every EuRoC ground-truth
+            # rotation; we pass it through correctly.
+            quat = data[k, 4:8]
+            T_w_i = quaternion_matrix(quat)
             T_w_i[:3, 3] = trans
             T_w_c = T_w_i @ self.T_i_c0
             self.poses += [np.linalg.inv(T_w_c)]

@@ -16,7 +16,6 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.image import psnr as psnr_fn
 from ..ops.image import ssim as ssim_fn
 from ..render import render
 from ..utils.logging import Log
@@ -77,16 +76,13 @@ def eval_rendering(
         out = render(gaussians.render_view(), frame.T, intr, cfg)
         image = jnp.clip(out.image, 0.0, 1.0)
         mask = gt_image > 0
-        psnr_score = float(
-            psnr_fn(jnp.where(mask, image, 0.0), jnp.where(mask, gt_image, 0.0))
-        )
-        # the reference computes psnr over the masked pixel vector; replicate
-        # by correcting for the mask density
-        n_valid = float(jnp.sum(mask))
-        if n_valid > 0:
-            mse_full = float(jnp.mean(jnp.where(mask, (image - gt_image) ** 2, 0.0)))
-            mse = mse_full * mask.size / n_valid
-            psnr_score = float(20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-12))))
+        # the reference computes psnr over the masked pixel vector
+        # (eval_utils.py:150-152); correct the full-image mse by the mask
+        # density to get the same statistic
+        n_valid = max(float(jnp.sum(mask)), 1.0)
+        mse_full = float(jnp.mean(jnp.where(mask, (image - gt_image) ** 2, 0.0)))
+        mse = mse_full * mask.size / n_valid
+        psnr_score = float(20.0 * np.log10(1.0 / np.sqrt(max(mse, 1e-12))))
         ssim_score = float(ssim_fn(image, gt_image))
         lpips_score = _lpips(image, gt_image)
         psnr_array.append(psnr_score)

@@ -228,24 +228,6 @@ def prune(m: GaussianMap, mask) -> GaussianMap:
     return m._replace(active=m.active & ~mask, kf_id=jnp.where(mask, -1, m.kf_id))
 
 
-def add_densification_stats(m: GaussianMap, means2d_grad, update_filter) -> GaussianMap:
-    """Accumulate screen-space gradient norms (gaussian_model.py:693-697)."""
-    norm = jnp.linalg.norm(means2d_grad[:, :2], axis=-1)
-    f = update_filter & m.active
-    return m._replace(
-        grad_accum=m.grad_accum + jnp.where(f, norm, 0.0),
-        denom=m.denom + f.astype(jnp.float32),
-    )
-
-
-def update_max_radii(m: GaussianMap, radii, visibility) -> GaussianMap:
-    return m._replace(
-        max_radii2d=jnp.where(
-            visibility & m.active, jnp.maximum(m.max_radii2d, radii), m.max_radii2d
-        )
-    )
-
-
 def reset_opacity(m: GaussianMap, value: float = 0.01) -> GaussianMap:
     """Clamp opacity down and zero its Adam moments
     (reset_opacity + replace_tensor_to_optimizer, gaussian_model.py:364-367,
@@ -308,10 +290,12 @@ def densify_and_prune(
 
     prune_parent = m.active & (opa < min_opacity)
     if max_screen_size is not None:
-        prune_parent = prune_parent | (
-            m.active
-            & ((m.max_radii2d > max_screen_size) | (max_scale > 0.1 * extent))
-        )
+        # NOTE: the reference's screen-size condition (max_radii2D >
+        # max_screen_size) is provably dead there: densification_postfix
+        # zeroes max_radii2D for the whole map during clone/split, BEFORE
+        # densify_and_prune reads it (gaussian_model.py:586-589, 683-690).
+        # Only the world-size condition is live; we match that behavior.
+        prune_parent = prune_parent | (m.active & (max_scale > 0.1 * extent))
     keep = m.active & ~split_mask & ~prune_parent
 
     m2 = m._replace(active=keep, kf_id=jnp.where(keep, m.kf_id, -1))

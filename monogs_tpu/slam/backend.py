@@ -97,6 +97,7 @@ class BackEnd:
         self.pause = False
         self._key = jax.random.PRNGKey(seed + 12345)
         self._np_rng = np.random.default_rng(seed + 54321)
+        self._kf_adam = None  # window-pose Adam state, reset per keyframe
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -129,6 +130,7 @@ class BackEnd:
         self.viewpoints = {}
         self.current_window = []
         self.initialized = not self.monocular
+        self._kf_adam = None
         self.gaussians = gm.prune(
             self.gaussians, jnp.ones((self.gaussians.capacity,), bool)
         )
@@ -201,7 +203,7 @@ class BackEnd:
             opt_pose=jnp.array([False]),
             opt_exposure=jnp.array([False]),
         )
-        self.gaussians, _, it, vis = map_iters(
+        self.gaussians, _, it, vis, _ = map_iters(
             self.gaussians, cams, self.init_itr_num,
             jnp.int32(self.iteration_count), self._next_key(),
             self.intr, self.render_cfg, self.mcfg, self.hyper,
@@ -239,7 +241,7 @@ class BackEnd:
         if prune:
             if len(window) == self.window_size:
                 cams = self._stage_batch(window, [], 0)
-                _, _, _, vis = map_iters(
+                _, _, _, vis, _ = map_iters(
                     self.gaussians, cams, 0, jnp.int32(self.iteration_count),
                     self._next_key(), self.intr, self.render_cfg, self.mcfg,
                     self.hyper,
@@ -268,10 +270,14 @@ class BackEnd:
             self._np_rng.permutation(candidates)[: self.mcfg.pool_size]
         )
         cams = self._stage_batch(window, pool, frames_to_optimize)
-        self.gaussians, cams_out, it, vis = map_iters(
+        # the window pose/exposure Adam moments persist across idle-mapping
+        # calls between keyframes (torch keeps keyframe_optimizers alive,
+        # slam_backend.py:397-401, 489); without this, iters=1 idle calls
+        # degenerate into fixed-size sign steps on the poses
+        self.gaussians, cams_out, it, vis, self._kf_adam = map_iters(
             self.gaussians, cams, iters, jnp.int32(self.iteration_count),
             self._next_key(), self.intr, self.render_cfg, self.mcfg,
-            self.hyper,
+            self.hyper, kf_adam=self._kf_adam,
         )
         self.iteration_count = int(it)
         self.last_sent += iters
@@ -370,6 +376,9 @@ class BackEnd:
                 self.viewpoints[cur_frame_idx] = kf
                 self.current_window = current_window
                 self.add_next_kf(cur_frame_idx, kf, depth_map)
+                # fresh keyframe optimizer state, like the torch
+                # keyframe_optimizers recreation (slam_backend.py:489)
+                self._kf_adam = None
 
                 frames_to_optimize = self.pose_window
                 iter_per_kf = self.mapping_itr_num if self.single_thread else 10

@@ -43,7 +43,7 @@ def check_grad(gauss, frame: FrameData, T, intr, cfg: RenderConfig,
 
     def sf(p):
         return _sketched_Sf(gauss, frame, T, p, sketch, intr,
-                            cfg._replace(with_n_touched=False), tcfg)
+                            cfg._replace(with_n_touched=False), tcfg)[0]
 
     _, jvp = jax.linearize(sf, p0)
     SJ_lin = jax.vmap(jvp)(jnp.eye(8)).T
@@ -95,7 +95,7 @@ def lm_sweep(gauss, frame: FrameData, T, intr, cfg, tcfg, key,
 
     def sf(p):
         return _sketched_Sf(gauss, frame, T, p, sketch, intr,
-                            cfg._replace(with_n_touched=False), tcfg)
+                            cfg._replace(with_n_touched=False), tcfg)[0]
 
     Sf, jvp = jax.linearize(sf, p0)
     SJ = jax.vmap(jvp)(jnp.eye(8)).T

@@ -310,6 +310,8 @@ class FrontEnd:
                 if cur_frame_idx >= len(self.dataset):
                     if self.save_results and self.save_trj:
                         self.eval_ate_now(cur_frame_idx, final=True)
+                    if self.profile_logger is not None:
+                        self.profile_logger.close()
                     break
 
                 if self.requested_init:
@@ -385,7 +387,8 @@ class FrontEnd:
                             "Keyframes lacks sufficient overlap to initialize "
                             "the map, resetting."
                         )
-                        cur_frame_idx += 1
+                        # do NOT advance: the same frame re-initializes the
+                        # map on the next loop pass (slam_frontend.py:1947-51)
                         continue
                     depth_map = self.add_new_keyframe(
                         cur_frame_idx, depth=res.depth, opacity=res.opacity,

@@ -152,6 +152,12 @@ class MapStepCarry(NamedTuple):
     key: jax.Array
 
 
+def new_kf_adam(b: int):
+    """Fresh keyframe-optimizer Adam state for a window of b slots
+    (torch recreates keyframe_optimizers per keyframe, slam_backend.py:489)."""
+    return (jnp.zeros((b, 8)), jnp.zeros((b, 8)), jnp.float32(0))
+
+
 @functools.partial(
     jax.jit, static_argnames=("intr", "cfg", "mcfg", "hyper", "initialization")
 )
@@ -165,15 +171,21 @@ def map_iters(
     cfg: RenderConfig,
     mcfg: MapConfig,
     hyper: gm.MapHyper,
+    kf_adam=None,
     initialization: bool = False,
 ):
     """Run `n_iters` (dynamic) mapping iterations; returns (map, cams,
-    it_count, visibility [B, N] bool from a final n_touched pass).
+    it_count, visibility [B, N] bool from a final n_touched pass, kf_adam).
 
     Equivalent of BackEnd.map(window, iters=n) (slam_backend.py:157-333) and
     BackEnd.initialize_map (:91-155) when initialization=True (single view,
     init densify thresholds, no pose/exposure optimization, opacity reset at
     init_gaussian_reset and densify_from_iter).
+
+    kf_adam carries the window pose/exposure Adam moments ACROSS map_iters
+    calls between keyframes — the reference's keyframe_optimizers object
+    persists through the idle-mapping loop (slam_backend.py:397-401) and is
+    only recreated on a new keyframe.
     """
     b = cams.T.shape[0]
     n = m.capacity
@@ -278,10 +290,12 @@ def map_iters(
 
         return MapStepCarry(mc, cams_c, kam, kav, kat, itc, key)
 
+    if kf_adam is None:
+        kf_adam = new_kf_adam(b)
     carry = MapStepCarry(
         m=m, cams=cams,
-        kf_adam_m=jnp.zeros((b, 8)), kf_adam_v=jnp.zeros((b, 8)),
-        kf_adam_t=jnp.float32(0), it_count=it_count, key=key,
+        kf_adam_m=kf_adam[0], kf_adam_v=kf_adam[1],
+        kf_adam_t=kf_adam[2], it_count=it_count, key=key,
     )
     carry = jax.lax.fori_loop(0, n_iters, body, carry)
 
@@ -295,7 +309,9 @@ def map_iters(
         return (out.n_touched > 0) & cam.valid
 
     visibility = jax.lax.map(vis_one, carry.cams)
-    return carry.m, carry.cams, carry.it_count, visibility
+    return carry.m, carry.cams, carry.it_count, visibility, (
+        carry.kf_adam_m, carry.kf_adam_v, carry.kf_adam_t,
+    )
 
 
 @functools.partial(
@@ -322,6 +338,7 @@ def covisibility_prune(
         mask = jnp.where(initialized, m.kf_id >= cutoff_id, m.kf_id >= 0)
         to_prune = (n_obs <= prune_coviz) & mask
     to_prune = to_prune & m.active
+    m = m._replace(n_obs=jnp.where(m.active, n_obs, 0))
     if mcfg.monocular:
         m = gm.prune(m, to_prune)
     return m, n_obs

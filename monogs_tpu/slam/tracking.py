@@ -137,8 +137,11 @@ def _fo_loss(gauss, frame, T, p8, intr, cfg, tcfg: TrackConfig):
 
 
 def _sketched_Sf(gauss, frame, T, p8, sketch: SketchSpec, intr, cfg, tcfg):
-    """Bucketed residual sums Sf(p8) (slam_frontend.py:637-649)."""
+    """Bucketed residual sums Sf(p8) (slam_frontend.py:637-649), plus the
+    raw L1 scalar (shares the render with Sf so each second-order iteration
+    pays one primal render, not two)."""
     r_rgb, r_depth, _ = _residual(gauss, frame, T, p8, intr, cfg, tcfg)
+    l1 = jnp.sum(jnp.abs(r_rgb))
     if tcfg.use_huber:
         r_rgb = losses.huber_signed(r_rgb, tcfg.huber_delta)
         if r_depth is not None:
@@ -149,7 +152,7 @@ def _sketched_Sf(gauss, frame, T, p8, sketch: SketchSpec, intr, cfg, tcfg):
     m = r2.size
     d = sketch.d
     r2 = r2 * (d / m)            # scale by d/m (:640)
-    return apply_sketch(r2.reshape(-1), sketch)
+    return apply_sketch(r2.reshape(-1), sketch), l1
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "cfg", "tcfg"))
@@ -231,8 +234,14 @@ def track_frame(
             sketch = make_sketch(k1, m_pix, tcfg.stack_dim, tcfg.sketch_dim)
             p = p0(s.ea, s.eb)
 
-            # raw L1 at the current pose for lambda adaptation + best cache
-            _, (l1, _) = _fo_loss(gauss, frame, s.T, p, intr, cfg_track, tcfg)
+            # one primal render yields both Sf and the raw L1 (for lambda
+            # adaptation + best cache)
+            (Sf, l1), jvp = jax.linearize(
+                lambda q: _sketched_Sf(
+                    gauss, frame, s.T, q, sketch, intr, cfg_track, tcfg
+                ),
+                p,
+            )
             lam = jnp.where(
                 l1 < s.prev_l1,
                 jnp.maximum(s.lam / tcfg.decrease_factor, tcfg.min_lambda),
@@ -244,17 +253,12 @@ def track_frame(
             best_ea = jnp.where(better, s.ea, s.best_ea)
             best_eb = jnp.where(better, s.eb, s.best_eb)
 
-            Sf, jvp = jax.linearize(
-                lambda q: _sketched_Sf(
-                    gauss, frame, s.T, q, sketch, intr, cfg_track, tcfg
-                ),
-                p,
-            )
             # evaluate the 8 tangent directions in pairs of 4 (a fully
             # vmapped JVP multiplies the blend's transient memory by 8,
-            # which OOMs at full resolution; batch_size=4 halves the wall
-            # time at 4x transient memory)
-            SJ = jax.lax.map(jvp, jnp.eye(8), batch_size=4).T  # [d, 8]
+            # which OOMs at full resolution)
+            SJ = jax.lax.map(
+                lambda e: jvp(e)[0], jnp.eye(8), batch_size=4
+            ).T  # [d, 8]
             x = damped_lstsq(SJ, Sf, lam)
 
             T = se3.se3_exp(x[:6]) @ s.T

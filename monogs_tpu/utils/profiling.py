@@ -71,8 +71,15 @@ class ProfileLogger:
         rec = {"frame": frame_idx, "timestamp": time.time()}
         rec.update(fields)
         self.records.append(rec)
+        self._last_frame = frame_idx
         if (frame_idx + 1) % self.save_period == 0:
             self.flush(frame_idx)
+
+    def close(self):
+        """Flush any trailing records (runs shorter than save_period, or
+        frames after the last period boundary)."""
+        if self.records:
+            self.flush(getattr(self, "_last_frame", 0))
 
     def flush(self, frame_idx: int):
         if not self.records:

@@ -88,7 +88,7 @@ def test_map_iters_reduces_loss():
     )
     cams = make_batch(views)
     before = photometric_err(noisy, views)
-    m2, cams2, it, vis = map_iters(
+    m2, cams2, it, vis, _ = map_iters(
         noisy, cams, 40, jnp.int32(0), jax.random.PRNGKey(0),
         INTR, CFG, MCFG, HYPER,
     )
@@ -115,7 +115,7 @@ def test_map_iters_pose_refinement():
         opt_exposure=jnp.array([False, True, False]),
     )
     before, _ = se3.pose_diff(T_pert, views[1][2])
-    _, cams2, _, _ = map_iters(
+    _, cams2, _, _, _ = map_iters(
         m, cams, 60, jnp.int32(0), jax.random.PRNGKey(0),
         INTR, CFG, MCFG, HYPER,
     )
@@ -131,7 +131,7 @@ def test_densify_inside_loop_runs():
         gaussian_update_every=5, gaussian_update_offset=0,
         clone_cap=256, split_cap=128,
     )
-    m2, _, _, _ = map_iters(
+    m2, _, _, _, _ = map_iters(
         m, cams, 12, jnp.int32(0), jax.random.PRNGKey(0),
         INTR, CFG, mcfg, HYPER,
     )
