@@ -14,11 +14,14 @@ Pipeline (all static shapes, one jit):
   1. preprocess        — dense [N] projection/EWA math on the VPU
   2. global depth sort — jax.lax argsort once; per-tile order is then
                          automatically front-to-back
-  3. macro binning     — per 128px macro tile, gather-only compaction
-                         (cumsum + searchsorted) of overlapping Gaussians
-  4. fine blend        — per 16px tile, dense [K, P] alpha matrix, exclusive
-                         cumprod transmittance, weighted color reduction as a
-                         [P,K]x[K,3] matmul on the MXU
+  3. macro binning     — per macro tile (macro_tiles x tile pixels),
+                         gather-only compaction of overlapping Gaussians via
+                         one lax.sort of masked indices (compact_sort)
+  4. fine blend        — per 16px tile, compaction again, then a dense
+                         [K, P] alpha matrix via an MXU matmul, exclusive
+                         blocked-cumprod transmittance, and the weighted
+                         color/depth/alpha reduction as one [P,K]x[K,5]
+                         matmul
 The alpha-compositing recurrence is reformulated as an associative scan
 (cumprod), which is the key to TPU-native rasterization: no sequential
 per-pixel loops, no scatters, no dynamic shapes.
