@@ -122,6 +122,14 @@ class BackEnd:
             adaptive_pointsize=self.adaptive_pointsize,
         )
         self.gaussians = gm.insert(self.gaussians, leaves, count, frame_idx)
+        n_active = int(self.gaussians.n_active)
+        cap = self.gaussians.capacity
+        if n_active > 0.9 * cap:
+            Log(
+                f"map at {n_active}/{cap} capacity — inserts will start "
+                "dropping; raise Renderer.map_capacity",
+                tag="Warn",
+            )
 
     def reset(self):
         """Full map + window reset (slam_backend.py:77-89)."""

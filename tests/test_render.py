@@ -148,3 +148,39 @@ def test_fine_capacity_overflow_drops_farthest():
     out_full = render(gauss, jnp.eye(4), INTR, CFG)
     # truncated render must keep opacity <= full render (+eps), never exceed
     assert float((out_small.opacity - out_full.opacity).max()) < 1e-4
+
+
+def test_sh_degree3_view_dependence_and_golden_match():
+    """sh_degree=3 path (spherical_harmonics configs): tiled matches golden
+    and color actually varies with view direction."""
+    n = 48
+    key = jax.random.PRNGKey(21)
+    ks = jax.random.split(key, 5)
+    gauss = GaussianArrays(
+        xyz=jnp.concatenate(
+            [1.0 * jax.random.normal(ks[0], (n, 2)),
+             3.0 + 0.3 * jax.random.normal(ks[1], (n, 1))], axis=-1),
+        sh=jax.random.normal(ks[2], (n, 16, 3)) * 0.3,
+        log_scale=jnp.log(0.08 + 0.1 * jax.random.uniform(ks[3], (n, 3))),
+        quat=jax.random.normal(ks[4], (n, 4)) + jnp.array([2.0, 0, 0, 0]),
+        opa_logit=jnp.full((n, 1), 1.5),
+        active=jnp.ones((n,), bool),
+    )
+    cfg3 = CFG._replace(sh_degree=3)
+    T = jnp.eye(4)
+    out_g = render_golden(gauss, T, INTR, sh_degree=3)
+    out_t = render(gauss, T, INTR, cfg3)
+    np.testing.assert_allclose(out_t.image, out_g.image, atol=3e-5)
+
+    # a big lateral move changes viewing directions -> colors change even
+    # for the same gaussian coverage
+    T2 = se3.se3_exp(jnp.array([1.2, 0.0, 0.0, 0.0, 0.0, 0.0]))
+    out_moved = render(gauss, T2, INTR, cfg3)
+    assert float(jnp.abs(out_moved.image - out_t.image).max()) > 1e-3
+
+    # gradients flow into the higher-order coefficients
+    def loss(sh):
+        return jnp.mean(render(gauss._replace(sh=sh), T, INTR, cfg3).image)
+
+    g = jax.grad(loss)(gauss.sh)
+    assert float(jnp.abs(g[:, 1:, :]).max()) > 0
