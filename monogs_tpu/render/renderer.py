@@ -76,7 +76,7 @@ class RenderConfig(NamedTuple):
     macro_chunk: int = 0    # >0: process macro tiles in chunks of this size
     with_n_touched: bool = True
     fine_mode: str = "sort"  # "sort" | "onehot" (MXU compaction)
-    backend: str = "xla"    # "xla" | "pallas" (fused fine-stage kernel)
+    backend: str = "xla"    # "xla" | "pallas" | "pallas_compact"
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
 
     @property
@@ -274,11 +274,11 @@ def render(
     sel_m, vld_m = jax.vmap(macro_bin)(x0m, y0m)      # [Tm, Km]
     data_m = packed[sel_m]                            # [Tm, Km, F]
 
-    if cfg.backend == "pallas" and not cfg.with_n_touched:
-        # fused Pallas fine-stage: mask-based binning + blend with early
-        # termination and a hand-derived backward (pallas_blend.py)
-        from .pallas_blend import blend_macros_pallas
-
+    if cfg.backend in ("pallas", "pallas_compact") and not cfg.with_n_touched:
+        # fused Pallas fine-stage kernels: "pallas" = masked walk with early
+        # termination (no k_fine cap, pallas_blend.py); "pallas_compact" =
+        # in-kernel one-hot MXU compaction (k_fine-capped like the XLA path,
+        # pallas_compact.py). Both use hand-derived backward kernels.
         p_loc = (jnp.arange(tile * tile, dtype=jnp.int32) % tile).astype(
             jnp.float32
         )
@@ -288,10 +288,20 @@ def render(
         pmat = _pixel_basis(p_loc, q_loc)
         xy0 = jnp.stack([x0m, y0m], axis=-1)
         counts = jnp.sum(vld_m, axis=1).astype(jnp.float32)
-        outs = blend_macros_pallas(
-            data_m, xy0, counts, pmat,
-            tile, cfg.macro_tiles, W, H, cfg.pallas_interpret,
-        )  # [Tm, ft, P, 8]
+        if cfg.backend == "pallas_compact":
+            from .pallas_compact import blend_macros_compact
+
+            outs = blend_macros_compact(
+                data_m, xy0, counts, pmat,
+                tile, cfg.macro_tiles, cfg.k_fine, W, H, cfg.pallas_interpret,
+            )  # [Tm, ft, P, 8]
+        else:
+            from .pallas_blend import blend_macros_pallas
+
+            outs = blend_macros_pallas(
+                data_m, xy0, counts, pmat,
+                tile, cfg.macro_tiles, W, H, cfg.pallas_interpret,
+            )  # [Tm, ft, P, 8]
         accs = outs[..., 4]
         colors = outs[..., :3] + (1.0 - accs)[..., None] * bg[None, None, None, :]
         depths = outs[..., 3]

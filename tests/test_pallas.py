@@ -80,3 +80,53 @@ def test_pallas_nondivisible_image():
     b = render(gauss, jnp.eye(4), intr, PAL)
     np.testing.assert_allclose(b.image, a.image, atol=3e-5)
     assert b.image.shape == (3, 40, 50)
+
+
+PALC = XLA._replace(backend="pallas_compact", pallas_interpret=True)
+
+
+def test_pallas_compact_forward_matches_xla():
+    gauss = make_scene()
+    T = jnp.eye(4)
+    a = render(gauss, T, INTR, XLA)
+    b = render(gauss, T, INTR, PALC)
+    np.testing.assert_allclose(b.image, a.image, atol=3e-5)
+    np.testing.assert_allclose(b.depth, a.depth, atol=3e-4)
+    np.testing.assert_allclose(b.opacity, a.opacity, atol=3e-5)
+
+
+def test_pallas_compact_backward_matches_xla():
+    gauss = make_scene(64, seed=3)
+    T = jnp.eye(4)
+    target = render(gauss, T, INTR, XLA).image * 0.9
+    active = gauss.active
+
+    def loss(leaves, tau, cfg):
+        g = GaussianArrays(*leaves, active=active)
+        out = render(g, T, INTR, cfg, tau=tau)
+        return (
+            jnp.mean(jnp.abs(out.image - target))
+            + 0.1 * jnp.mean(out.depth)
+            + 0.05 * jnp.mean(out.opacity)
+        )
+
+    leaves = (gauss.xyz, gauss.sh, gauss.log_scale, gauss.quat, gauss.opa_logit)
+    tau0 = jnp.zeros(6)
+    ga, ta = jax.grad(loss, argnums=(0, 1))(leaves, tau0, XLA)
+    gb, tb = jax.grad(loss, argnums=(0, 1))(leaves, tau0, PALC)
+    np.testing.assert_allclose(tb, ta, rtol=2e-3, atol=1e-6)
+    for name, x, y in zip(
+        ["xyz", "sh", "log_scale", "quat", "opa_logit"], gb, ga
+    ):
+        np.testing.assert_allclose(x, y, rtol=2e-3, atol=2e-5, err_msg=name)
+
+
+def test_pallas_compact_truncation_matches_xla_sort():
+    """Both paths truncate to the depth-nearest k_fine; heavy overflow must
+    agree exactly."""
+    tiny_xla = XLA._replace(k_fine=16)
+    tiny_pal = PALC._replace(k_fine=16)
+    gauss = make_scene(96, seed=7)
+    a = render(gauss, jnp.eye(4), INTR, tiny_xla)
+    b = render(gauss, jnp.eye(4), INTR, tiny_pal)
+    np.testing.assert_allclose(b.image, a.image, atol=3e-5)
