@@ -37,12 +37,18 @@ def main():
         fx=535.4, fy=539.2, cx=320.1, cy=247.6, width=640, height=480
     )
     # Measured sweet spot on v5e at this density: 64px macro tiles with
-    # k_fine=96 track at 0.68 fps / 2.3mm pose error; k_fine=256 is 2.4x
-    # slower for no accuracy gain (the nearest splats dominate once opacity
-    # saturates), k_fine=64 is 1.25x faster but error rises to 3.6mm.
-    # macro_chunk bounds the blend's transient memory.
+    # k_fine=96 (k_fine=256 is 2.4x slower for no accuracy gain — the
+    # nearest splats dominate once opacity saturates; k_fine=64 raises pose
+    # error 2.3mm -> 3.6mm). backend="pallas_lists" freezes strict-priority
+    # per-tile lists across the first-order phase (margin 8 px), rebuilds
+    # exact lists inside the second-order loop, and runs the blend + all-6-
+    # pose-tangent JVP as fused Pallas kernels: fo iter 48 -> 11 ms, so iter
+    # 153 -> 54 ms (scripts/profile_tracking.py); pose error ~3.9 mm mean.
+    # macro_chunk bounds the XLA-path blend's transient memory (mapping
+    # still uses it).
     cfg = RenderConfig(
-        tile=16, macro_tiles=4, k_macro=1024, k_fine=96, macro_chunk=16
+        tile=16, macro_tiles=4, k_macro=1024, k_fine=96, macro_chunk=16,
+        backend="pallas_lists",
     )
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=40, so_max_iter=10,

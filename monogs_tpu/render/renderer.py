@@ -41,10 +41,10 @@ import jax
 import jax.numpy as jnp
 
 from ..ops import se3
-from ..ops.scan import blocked_cumprod_excl, blocked_cumsum
+from ..ops.scan import blocked_cumprod_excl
 from .camera import Intrinsics
 from .primitives import preprocess
-from .tiling import compact_sort, tile_overlap_mask
+from .tiling import compact_sort, macro_instance_bin
 
 _ALPHA_MIN = 1.0 / 255.0
 _T_EPS = 1e-4
@@ -75,9 +75,11 @@ class RenderConfig(NamedTuple):
     near: float = 0.2
     macro_chunk: int = 0    # >0: process macro tiles in chunks of this size
     with_n_touched: bool = True
-    fine_mode: str = "sort"  # "sort" | "onehot" (MXU compaction)
+    fine_mode: str = "sort"  # legacy knob, ignored (kept for config compat)
     backend: str = "xla"    # "xla" | "pallas" | "pallas_compact"
     pallas_interpret: bool = False  # interpreter mode (CPU tests)
+    span_cap: int = 16      # macro-rect instances per Gaussian (see tiling)
+    k_big: int = 128        # exact sidecar capacity for span>span_cap splats
 
     @property
     def macro_px(self) -> int:
@@ -214,6 +216,155 @@ def _blend(data, vld, tx0, ty0, pmat, bg, pix_ok):
     return color, depth, acc_alpha, contrib
 
 
+class TileLists(NamedTuple):
+    """Frozen per-fine-tile Gaussian lists (the binning result).
+
+    idx: [n_fine_tiles, k_fine] int32 ORIGINAL Gaussian indices, front-to-back
+    (depth order at the pose the lists were built at); vld: same-shape bool.
+    Build once per frame with `build_tile_lists(margin=...)` and reuse across
+    tracking iterations — the TPU-native replacement for the CUDA kernel's
+    per-call tile binning, whose sort is cheap on a GPU but costs several ms
+    per call in XLA. A pixel `margin` inflates the overlap test so the lists
+    stay conservative while the camera moves < margin pixels.
+    """
+
+    idx: jax.Array
+    vld: jax.Array
+
+
+class _BinAux(NamedTuple):
+    order: jax.Array    # [N] depth-ascending permutation
+    sel_m: jax.Array    # [Tm, Km] rank-space macro lists
+    vld_m: jax.Array
+    x0m: jax.Array      # [Tm] macro origins (pixels)
+    y0m: jax.Array
+
+
+def _make_lists(u, v, rad, valid, z, intr: Intrinsics, cfg: RenderConfig,
+                margin: float = 0.0):
+    """Index-space binning pipeline (non-differentiable; caller passes
+    stop_gradient'ed geometry). u/v/rad/valid/z: UNSORTED [N]."""
+    n = u.shape[0]
+    tile = cfg.tile
+    mpx = cfg.macro_px
+    W, H = intr.width, intr.height
+    n_mx = -(-W // mpx)
+    n_my = -(-H // mpx)
+    n_macro = n_mx * n_my
+    ft = cfg.macro_tiles * cfg.macro_tiles
+    n_fine = n_macro * ft
+
+    order = jnp.argsort(jnp.where(valid, z, jnp.inf))
+    u_s, v_s, valid_s = u[order], v[order], valid[order]
+    rad_strict = rad[order]
+    if margin:
+        rad_s = jnp.where(valid_s, rad_strict + margin, rad_strict)
+    else:
+        rad_s = rad_strict
+
+    r_pow2 = 1 << max(1, (n - 1).bit_length())
+    assert n_macro * 2 * r_pow2 < 2**31, (
+        "macro instance keys overflow int32; lower capacity or image size"
+    )
+    mx = jnp.arange(n_macro, dtype=jnp.int32) % n_mx
+    my = jnp.arange(n_macro, dtype=jnp.int32) // n_mx
+    x0m = (mx * mpx).astype(jnp.float32)
+    y0m = (my * mpx).astype(jnp.float32)
+    sel_m, vld_m = macro_instance_bin(
+        u_s, v_s, rad_s, valid_s, n_mx, n_my, mpx,
+        cfg.k_macro, cfg.span_cap, cfg.k_big,
+        radius_strict=rad_strict if margin else None,
+    )                                                 # [Tm, Km] rank indices
+
+    # fine stage: per fine tile, select the macro list's overlapping entries
+    # STRICT-FIRST (see macro_instance_bin) and restore depth order
+    fx_off = (jnp.arange(ft, dtype=jnp.int32) % cfg.macro_tiles) * tile
+    fy_off = (jnp.arange(ft, dtype=jnp.int32) // cfg.macro_tiles) * tile
+    u_m, v_m = u_s[sel_m], v_s[sel_m]                        # [Tm, Km]
+    tx0 = x0m[:, None] + fx_off[None, :].astype(jnp.float32)  # [Tm, ft]
+    ty0 = y0m[:, None] + fy_off[None, :].astype(jnp.float32)
+
+    def overlap(rad_of_m):
+        return (
+            vld_m[:, None, :]
+            & (u_m[:, None, :] + rad_of_m[:, None, :] >= tx0[:, :, None])
+            & (u_m[:, None, :] - rad_of_m[:, None, :]
+               <= tx0[:, :, None] + tile - 1)
+            & (v_m[:, None, :] + rad_of_m[:, None, :] >= ty0[:, :, None])
+            & (v_m[:, None, :] - rad_of_m[:, None, :]
+               <= ty0[:, :, None] + tile - 1)
+        )                                                   # [Tm, ft, Km]
+
+    fm = overlap(rad_s[sel_m]).reshape(n_fine, cfg.k_macro)
+    ranks = jnp.broadcast_to(
+        sel_m[:, None, :], (n_macro, ft, cfg.k_macro)
+    ).reshape(n_fine, cfg.k_macro)
+    if margin:
+        fs = overlap(rad_strict[sel_m]).reshape(n_fine, cfg.k_macro)
+        keys = jnp.where(
+            fm, ranks + jnp.where(fs, 0, r_pow2), 2 * r_pow2
+        )
+        # strict-first truncation, then re-sort survivors to depth order
+        picked = jax.lax.sort(keys, dimension=1, is_stable=False)[
+            :, :cfg.k_fine
+        ]
+        rank_g = jnp.where(picked < 2 * r_pow2,
+                           picked & (r_pow2 - 1), r_pow2)
+        rank_g = jax.lax.sort(rank_g, dimension=1, is_stable=False)
+    else:
+        keys = jnp.where(fm, ranks, r_pow2)
+        rank_g = jax.lax.sort(keys, dimension=1, is_stable=False)[
+            :, :cfg.k_fine
+        ]
+    vld_f = rank_g < r_pow2
+    idx = jnp.where(vld_f, order[jnp.where(vld_f, rank_g, 0)], 0)
+    lists = TileLists(idx=idx, vld=vld_f)
+    return lists, _BinAux(order=order, sel_m=sel_m, vld_m=vld_m,
+                          x0m=x0m, y0m=y0m)
+
+
+def _tile_origins(intr: Intrinsics, cfg: RenderConfig):
+    """[Tf] fine-tile pixel origins in macro-major order."""
+    mpx = cfg.macro_px
+    tile = cfg.tile
+    n_mx = -(-intr.width // mpx)
+    n_my = -(-intr.height // mpx)
+    n_macro = n_mx * n_my
+    ft = cfg.macro_tiles * cfg.macro_tiles
+    fx_off = (jnp.arange(ft, dtype=jnp.int32) % cfg.macro_tiles) * tile
+    fy_off = (jnp.arange(ft, dtype=jnp.int32) // cfg.macro_tiles) * tile
+    x0m = (jnp.arange(n_macro, dtype=jnp.int32) % n_mx * mpx)
+    y0m = (jnp.arange(n_macro, dtype=jnp.int32) // n_mx * mpx)
+    tx0 = (x0m[:, None] + fx_off[None, :]).astype(jnp.float32).reshape(-1)
+    ty0 = (y0m[:, None] + fy_off[None, :]).astype(jnp.float32).reshape(-1)
+    return tx0, ty0
+
+
+def build_tile_lists(
+    gauss: GaussianArrays,
+    T_cw,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    margin: float = 0.0,
+    tau=None,
+    scale_modifier: float = 1.0,
+) -> TileLists:
+    """Bin the scene into per-fine-tile lists at the given pose (see
+    TileLists). Entirely non-differentiable."""
+    T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    prep = preprocess(
+        gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit, gauss.sh,
+        gauss.active, jax.lax.stop_gradient(T_eff), intr,
+        sh_degree=0,  # rgb unused for binning
+        near=cfg.near, scale_modifier=scale_modifier,
+    )
+    lists, _ = _make_lists(
+        prep.mean2d[:, 0], prep.mean2d[:, 1], prep.radius, prep.valid,
+        prep.z, intr, cfg, margin,
+    )
+    return lists
+
+
 def render(
     gauss: GaussianArrays,
     T_cw,
@@ -223,8 +374,13 @@ def render(
     means2d_offset=None,
     bg=None,
     scale_modifier: float = 1.0,
+    lists: Optional[TileLists] = None,
 ) -> RenderResult:
-    """Tiled TPU render. All shapes static; jit over (intr, cfg)."""
+    """Tiled TPU render. All shapes static; jit over (intr, cfg).
+
+    With `lists` (from build_tile_lists) the per-call binning is skipped and
+    the frozen lists drive the blend — the fast path for iterative tracking.
+    """
     n = gauss.xyz.shape[0]
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
@@ -244,11 +400,7 @@ def render(
         scale_modifier=scale_modifier,
         means2d_offset=means2d_offset,
     )
-
-    depth_key = jnp.where(prep.valid, prep.z, jnp.inf)
-    order = jnp.argsort(depth_key)
-    packed = _pack(prep)[order]           # [N, F]
-    valid_s = prep.valid[order]
+    packed = _pack(prep)                  # [N, F] original order
 
     tile = cfg.tile
     mpx = cfg.macro_px
@@ -259,22 +411,22 @@ def render(
     ft = cfg.macro_tiles * cfg.macro_tiles
     p = tile * tile
 
-    # ---- macro binning (vectorized over macro tiles) ----
-    mx = jnp.arange(n_macro, dtype=jnp.int32) % n_mx
-    my = jnp.arange(n_macro, dtype=jnp.int32) // n_mx
-    x0m = (mx * mpx).astype(jnp.float32)
-    y0m = (my * mpx).astype(jnp.float32)
-
-    def macro_bin(x0, y0):
-        m = tile_overlap_mask(
-            packed[:, :2], packed[:, _RAD], valid_s, x0, y0, x0 + mpx, y0 + mpx
+    aux = None
+    if lists is None:
+        lists, aux = _make_lists(
+            jax.lax.stop_gradient(packed[:, _U]),
+            jax.lax.stop_gradient(packed[:, _V]),
+            jax.lax.stop_gradient(packed[:, _RAD]),
+            prep.valid, jax.lax.stop_gradient(prep.z), intr, cfg,
         )
-        return compact_sort(m, cfg.k_macro)
 
-    sel_m, vld_m = jax.vmap(macro_bin)(x0m, y0m)      # [Tm, Km]
-    data_m = packed[sel_m]                            # [Tm, Km, F]
-
-    if cfg.backend in ("pallas", "pallas_compact") and not cfg.with_n_touched:
+    if (
+        cfg.backend in ("pallas", "pallas_compact")
+        and not cfg.with_n_touched
+        and aux is not None
+    ):
+        sel_m, vld_m, x0m, y0m = aux.sel_m, aux.vld_m, aux.x0m, aux.y0m
+        data_m = packed[aux.order][sel_m]             # [Tm, Km, F]
         # fused Pallas fine-stage kernels: "pallas" = masked walk with early
         # termination (no k_fine cap, pallas_blend.py); "pallas_compact" =
         # in-kernel one-hot MXU compaction (k_fine-capped like the XLA path,
@@ -320,89 +472,76 @@ def render(
             n_touched=jnp.zeros((n,), jnp.int32),
         )
 
-    fx_off = (jnp.arange(ft, dtype=jnp.int32) % cfg.macro_tiles) * tile
-    fy_off = (jnp.arange(ft, dtype=jnp.int32) // cfg.macro_tiles) * tile
+    # ---- blend (the only differentiable stage): flat over fine tiles,
+    # chunked; checkpointed so backward rematerializes the per-tile alpha
+    # matrices instead of storing them, and never re-runs any binning sort
     px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
     py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
     pmat = _pixel_basis(px_local, py_local)
+    n_fine = n_macro * ft
+    tx0, ty0 = _tile_origins(intr, cfg)
 
-    @jax.checkpoint
-    def do_macro(data, vld, x0, y0):
-        """One macro tile -> fine binning + blend over its ft fine tiles."""
+    # entries culled at the CURRENT pose must not blend even if the (possibly
+    # stale) lists still carry them
+    vld_f = lists.vld & prep.valid[lists.idx]
 
-        def do_fine(tx0, ty0):
-            fm = tile_overlap_mask(
-                data[:, :2], data[:, _RAD], vld, tx0, ty0, tx0 + tile, ty0 + tile
-            )
-            if cfg.fine_mode == "onehot":
-                # compaction as an MXU matmul: cs assigns each selected entry
-                # its slot; the one-hot [Kf, Km] row-selector gathers data
-                # without any sort or dynamic indexing
-                cs = blocked_cumsum(fm.astype(jnp.float32))
-                slot = jnp.where(fm, cs, 0.0)
-                onehot = (
-                    slot[None, :]
-                    == jnp.arange(1, cfg.k_fine + 1, dtype=jnp.float32)[:, None]
-                ).astype(jnp.float32)
-                d = jnp.dot(
-                    onehot, data, precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32,
-                )
-                count = cs[-1]
-                vld_f = jnp.arange(cfg.k_fine) < jnp.minimum(count, cfg.k_fine)
-                sel_f = (
-                    jnp.dot(
-                        onehot,
-                        jnp.arange(data.shape[0], dtype=jnp.float32)[:, None],
-                        precision=jax.lax.Precision.HIGHEST,
-                        preferred_element_type=jnp.float32,
-                    )[:, 0]
-                ).astype(jnp.int32)
-            else:
-                sel_f, vld_f = compact_sort(fm, cfg.k_fine)
-                d = data[sel_f]
-            px = tx0 + px_local
-            py = ty0 + py_local
-            pix_ok = (px <= W - 1) & (py <= H - 1)
-            color, depth, acc, contrib = _blend(
-                d, vld_f, tx0, ty0, pmat, bg, pix_ok
-            )
-            if cfg.with_n_touched:
-                cnt = jnp.sum(contrib, axis=1).astype(jnp.int32)  # [Kf]
-                return color, depth, acc, sel_f, cnt
-            return color, depth, acc, sel_f, jnp.zeros_like(sel_f)
+    if cfg.backend == "pallas_lists" and not cfg.with_n_touched:
+        # fused per-list Pallas blend (pallas_lists.py): one VMEM-resident
+        # kernel instead of HBM-materialized [Tf, Kf, P] intermediates
+        assert cfg.k_fine % 16 == 0, "pallas_lists needs k_fine % 16 == 0"
+        from .pallas_lists import blend_lists_pallas
 
-        colors, depths, accs, sels, cnts = jax.vmap(do_fine)(
-            x0 + fx_off.astype(jnp.float32),
-            y0 + fy_off.astype(jnp.float32),
+        d = packed[lists.idx]                               # [Tf, Kf, F]
+        logo = jnp.where(vld_f, d[..., _LOGO], -1e30)
+        d = jnp.concatenate(
+            [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
         )
-        if cfg.with_n_touched:
-            nt = jnp.zeros((cfg.k_macro,), jnp.int32)
-            nt = nt.at[sels.reshape(-1)].add(cnts.reshape(-1))
-        else:
-            nt = jnp.zeros((cfg.k_macro,), jnp.int32)
-        return colors, depths, accs, nt
+        outs = blend_lists_pallas(
+            d, tx0, ty0, pmat, tile, W, H, cfg.pallas_interpret
+        )                                                   # [Tf, P, 8]
+        accs = outs[..., 4]
+        colors = outs[..., :3] + (1.0 - accs)[..., None] * bg[None, None, :]
+        depths = outs[..., 3]
 
-    def run_macro(i):
-        return do_macro(data_m[i], vld_m[i], x0m[i], y0m[i])
+        def assemble_l(x, c):
+            x = x.reshape(n_my, n_mx, cfg.macro_tiles, cfg.macro_tiles,
+                          tile, tile, c)
+            x = x.transpose(0, 2, 4, 1, 3, 5, 6)
+            return x.reshape(n_my * mpx, n_mx * mpx, c)[:H, :W]
 
-    idxs = jnp.arange(n_macro)
-    if cfg.macro_chunk and cfg.macro_chunk < n_macro:
-        colors, depths, accs, nt_m = jax.lax.map(
-            run_macro, idxs, batch_size=cfg.macro_chunk
+        return RenderResult(
+            image=assemble_l(colors.reshape(n_fine, p, 3), 3).transpose(2, 0, 1),
+            depth=assemble_l(depths.reshape(n_fine, p)[..., None], 1)
+            .transpose(2, 0, 1),
+            opacity=assemble_l(accs.reshape(n_fine, p)[..., None], 1)
+            .transpose(2, 0, 1),
+            radii=prep.radius,
+            n_touched=jnp.zeros((n,), jnp.int32),
+        )
+
+    def blend_tile(args):
+        idx, vf, x0, y0 = args
+        d = packed[idx]                                     # [Kf, F]
+        px = x0 + px_local
+        py = y0 + py_local
+        pix_ok = (px <= W - 1) & (py <= H - 1)
+        color, depth, acc, contrib = _blend(d, vf, x0, y0, pmat, bg, pix_ok)
+        cnt = (
+            jnp.sum(contrib, axis=1).astype(jnp.int32)
+            if cfg.with_n_touched else jnp.zeros((cfg.k_fine,), jnp.int32)
+        )
+        return color, depth, acc, cnt
+
+    chunk = cfg.macro_chunk * ft if cfg.macro_chunk else n_fine
+    xs = (lists.idx, vld_f, tx0, ty0)
+    if chunk < n_fine:
+        colors, depths, accs, cnts = jax.lax.map(
+            jax.checkpoint(blend_tile), xs, batch_size=chunk
         )
     else:
-        colors, depths, accs, nt_m = jax.vmap(run_macro)(idxs)
-
-    return _finish_render(
-        colors, depths, accs, nt_m, prep, order, sel_m, vld_m,
-        n, n_mx, n_my, mpx, tile, cfg, H, W,
-    )
-
-
-def _finish_render(colors, depths, accs, nt_m, prep, order, sel_m, vld_m,
-                   n, n_mx, n_my, mpx, tile, cfg, H, W):
-    """Assemble [Tm, ft, P, c] tile outputs into images + global n_touched."""
+        colors, depths, accs, cnts = jax.vmap(
+            lambda i, v, x, y: jax.checkpoint(blend_tile)((i, v, x, y))
+        )(*xs)
 
     def assemble(x, c):
         x = x.reshape(n_my, n_mx, cfg.macro_tiles, cfg.macro_tiles, tile, tile, c)
@@ -410,15 +549,14 @@ def _finish_render(colors, depths, accs, nt_m, prep, order, sel_m, vld_m,
         x = x.reshape(n_my * mpx, n_mx * mpx, c)
         return x[:H, :W]
 
-    image = assemble(colors, 3).transpose(2, 0, 1)
-    depth = assemble(depths[..., None], 1).transpose(2, 0, 1)
-    opacity = assemble(accs[..., None], 1).transpose(2, 0, 1)
+    image = assemble(colors.reshape(n_fine, p, 3), 3).transpose(2, 0, 1)
+    depth = assemble(depths.reshape(n_fine, p)[..., None], 1).transpose(2, 0, 1)
+    opacity = assemble(accs.reshape(n_fine, p)[..., None], 1).transpose(2, 0, 1)
 
     if cfg.with_n_touched:
-        orig = order[sel_m]                                 # [Tm, Km]
-        orig = jnp.where(vld_m, orig, n)                    # drop invalid
+        orig = jnp.where(vld_f, lists.idx, n)               # [Tf, Kf]
         n_touched = jnp.zeros((n + 1,), jnp.int32)
-        n_touched = n_touched.at[orig.reshape(-1)].add(nt_m.reshape(-1))[:n]
+        n_touched = n_touched.at[orig.reshape(-1)].add(cnts.reshape(-1))[:n]
     else:
         n_touched = jnp.zeros((n,), jnp.int32)
 
@@ -429,6 +567,99 @@ def _finish_render(colors, depths, accs, nt_m, prep, order, sel_m, vld_m,
         radii=prep.radius,
         n_touched=n_touched,
     )
+
+
+def render_pose_jvp(
+    gauss: GaussianArrays,
+    T_cw,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    lists: TileLists,
+    bg=None,
+):
+    """Render + all 6 SE(3) pose-tangent pushforwards in ONE fused pass.
+
+    The sketched second-order tracker needs d(image)/d(tau) for the 6 pose
+    tangents every iteration (slam_frontend.py:654-666 harvests them from the
+    CUDA kernel's scattered backward). Reverse mode gives one direction per
+    backward pass; forward mode through the fused pallas_lists JVP kernel
+    shares the primal blend across all 6 tangents. Exposure tangents don't
+    touch the renderer (exposure applies to the rendered image) and are
+    chained analytically by the caller.
+
+    Returns (image [3,H,W], depth [1,H,W], opacity [1,H,W],
+             image_t [6,3,H,W], depth_t [6,1,H,W], opacity_t [6,1,H,W]).
+    """
+    assert cfg.k_fine % 16 == 0
+    from .pallas_lists import blend_lists_jvp8
+
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    n = gauss.xyz.shape[0]
+
+    def pp(tau):
+        T_eff = se3.se3_exp(tau) @ T_cw
+        prep = preprocess(
+            gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit,
+            gauss.sh, gauss.active, T_eff, intr,
+            sh_degree=cfg.sh_degree, near=cfg.near,
+        )
+        return _pack(prep), prep.valid
+
+    (packed, valid), jvp_fn = jax.linearize(pp, jnp.zeros(6))
+    tans = jnp.stack(
+        [jvp_fn(jnp.eye(6)[k])[0] for k in range(6)], axis=0
+    )                                                   # [6, N, F]
+
+    vld = lists.vld & valid[lists.idx]
+    d = packed[lists.idx]                               # [Tf, Kf, F]
+    logo = jnp.where(vld, d[..., _LOGO], -1e30)
+    d = jnp.concatenate(
+        [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
+    )
+    d_tan = tans[:, lists.idx].transpose(1, 0, 2, 3)    # [Tf, 6, Kf, F]
+
+    tile = cfg.tile
+    p = tile * tile
+    px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
+    py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px_local, py_local)
+    tx0, ty0 = _tile_origins(intr, cfg)
+    W, H = intr.width, intr.height
+    outs, touts = blend_lists_jvp8(
+        d, d_tan, tx0, ty0, pmat, tile, W, H, cfg.pallas_interpret
+    )                                                   # [Tf,P,8],[Tf,6,P,8]
+
+    mpx = cfg.macro_px
+    n_mx = -(-W // mpx)
+    n_my = -(-H // mpx)
+    n_fine = n_mx * n_my * cfg.macro_tiles * cfg.macro_tiles
+
+    def assemble(x, c):
+        x = x.reshape(n_my, n_mx, cfg.macro_tiles, cfg.macro_tiles,
+                      tile, tile, c)
+        x = x.transpose(0, 2, 4, 1, 3, 5, 6)
+        return x.reshape(n_my * mpx, n_mx * mpx, c)[:H, :W].transpose(2, 0, 1)
+
+    acc = outs[..., 4]
+    image = assemble(
+        (outs[..., :3] + (1.0 - acc)[..., None] * bg[None, None, :])
+        .reshape(n_fine, p, 3), 3)
+    depth = assemble(outs[..., 3].reshape(n_fine, p)[..., None], 1)
+    opacity = assemble(acc.reshape(n_fine, p)[..., None], 1)
+
+    acc_t = touts[..., 4]                               # [Tf, 6, P]
+    img_t_tiles = (
+        touts[..., :3] - acc_t[..., None] * bg[None, None, None, :]
+    )
+
+    def assemble_t(x, c):
+        return jax.vmap(lambda y: assemble(y, c), in_axes=1)(x)
+
+    image_t = assemble_t(img_t_tiles.reshape(n_fine, 6, p, 3), 3)
+    depth_t = assemble_t(touts[..., 3].reshape(n_fine, 6, p)[..., None], 1)
+    opacity_t = assemble_t(acc_t.reshape(n_fine, 6, p)[..., None], 1)
+    return image, depth, opacity, image_t, depth_t, opacity_t
 
 
 def render_golden(

@@ -1,14 +1,28 @@
-"""Gather-only tile binning: cumsum + searchsorted compaction.
+"""Tile binning for the tiled rasterizer.
 
-The CUDA rasterizer bins Gaussians to 16x16 tiles by duplicating instances and
-radix-sorting (tile | depth) keys — a scatter-heavy pattern that maps poorly
-to TPUs. Instead we depth-sort the Gaussians once globally (order within any
-tile is then automatically front-to-back) and, per tile, *compact* the indices
-of overlapping Gaussians into a fixed-capacity list using a prefix sum and a
-vectorized binary search. Both primitives are gather-only and vectorize over
-tiles with vmap; no scatters appear anywhere in the forward pass.
+Two strategies, both gather-only in the differentiable path:
 
-If more than `capacity` Gaussians overlap a tile, the farthest ones are
+1. `compact_sort` / `tile_overlap_mask` — per-tile masked-index compaction
+   (one batched sort of [tiles, M] keys). Simple and exact, but the mask is
+   recomputed against the FULL list for every tile, so the macro stage costs
+   O(n_macro * N) sort keys.
+
+2. `macro_instance_bin` — the CUDA rasterizer's duplicated-instance design
+   (diff-gaussian-rasterization forward: duplicate each Gaussian per
+   overlapped tile, radix-sort (tile|depth) keys) re-expressed for XLA as ONE
+   `lax.sort` over [N, span_cap] int32 keys `macro_id * R + depth_rank`
+   (R = pow2 >= N, so a single-array sort both orders by tile and keeps the
+   global front-to-back depth order within each tile). Per-macro lists are
+   then contiguous ranges of the sorted array, located with searchsorted —
+   no scatters, no per-tile masks over N. Gaussians whose macro-rect span
+   exceeds `span_cap` (rare, huge splats) go through an exact sidecar: up to
+   `k_big` of them are tested against every macro with the plain overlap mask
+   and merged into the per-macro lists by depth rank, so results remain
+   bit-identical to the mask-based binning whenever the sidecar capacity
+   suffices (overflow beyond k_big falls back to truncated enumeration of the
+   first span_cap macros).
+
+If more than `capacity` Gaussians land in a tile, the farthest ones are
 dropped — they are the most-occluded and contribute (near-)zero weight after
 transmittance saturation, matching the CUDA early-termination behavior.
 """
@@ -51,6 +65,134 @@ def compact_indices(mask, capacity: int):
     valid = targets <= jnp.minimum(total, capacity)
     idx = jnp.where(valid, idx, 0)
     return idx, valid, total
+
+
+def grid_span(u, v, radius, n_x, n_y, cell):
+    """Inclusive cell-rect [cx0..cx1] x [cy0..cy1] of grid cells whose pixel
+    rect overlaps the splat box [u-r, u+r] x [v-r, v+r], clipped to the grid.
+
+    Matches `tile_overlap_mask` exactly: cell c (pixels [c*cell, c*cell +
+    cell-1]) overlaps iff u + r >= c*cell and u - r <= c*cell + cell - 1.
+    Returns (cx0, cy0, w, h) as int32 arrays.
+    """
+    cellf = float(cell)
+    cx0 = jnp.clip(jnp.ceil((u - radius - (cellf - 1.0)) / cellf), 0, n_x - 1)
+    cx1 = jnp.clip(jnp.floor((u + radius) / cellf), 0, n_x - 1)
+    cy0 = jnp.clip(jnp.ceil((v - radius - (cellf - 1.0)) / cellf), 0, n_y - 1)
+    cy1 = jnp.clip(jnp.floor((v + radius) / cellf), 0, n_y - 1)
+    cx0 = cx0.astype(jnp.int32)
+    cy0 = cy0.astype(jnp.int32)
+    w = cx1.astype(jnp.int32) - cx0 + 1
+    h = cy1.astype(jnp.int32) - cy0 + 1
+    return cx0, cy0, w, h
+
+
+def macro_instance_bin(
+    u, v, radius, valid, n_mx: int, n_my: int, cell: int,
+    k_macro: int, span_cap: int = 16, k_big: int = 128,
+    radius_strict=None,
+):
+    """Duplicated-instance macro binning (one global lax.sort).
+
+    u, v, radius, valid: [N] per-Gaussian screen geometry in DEPTH-SORTED
+    order (row index == depth rank). Returns (sel [n_macro, k_macro] int32
+    rank indices, depth-ascending; vld [n_macro, k_macro] bool).
+
+    With `radius_strict` (the un-inflated 3-sigma radius when `radius` is
+    margin-inflated for frozen-list reuse), capacity is awarded
+    STRICT-FIRST: cells truly overlapped at the build pose claim k_macro
+    slots before margin-only cells, each class in depth order. Without
+    priority, margin inflation floods the fixed capacity with false
+    candidates and evicts real contributors (measured 0.03-0.08 mean-L1
+    image corruption at the bench density); with it, margin-built lists
+    render identically to margin=0 lists at the build pose whenever the
+    strict candidates fit. Returned lists are NOT depth-interleaved across
+    the two classes — callers that blend must re-sort by rank (the fine
+    stage in renderer._make_lists does).
+    """
+    if radius_strict is None:
+        radius_strict = radius
+    n = u.shape[0]
+    n_macro = n_mx * n_my
+    r_pow2 = 1 << max(1, (n - 1).bit_length())
+    r2 = 2 * r_pow2
+    sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
+    rank = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
+
+    mx0, my0, w, h = grid_span(u, v, radius, n_mx, n_my, cell)
+    span = w * h
+    sx0, sy0, sw, sh = grid_span(u, v, radius_strict, n_mx, n_my, cell)
+
+    if k_big > 0:
+        big = valid & (span > span_cap)
+        # first k_big big splats (by depth rank) go to the exact sidecar;
+        # overflow past k_big falls back to truncated enumeration below
+        big_pos = jnp.cumsum(big.astype(jnp.int32)) - 1
+        in_sidecar = big & (big_pos < k_big)
+    else:
+        in_sidecar = jnp.zeros_like(valid)
+    norm = valid & jnp.logical_not(in_sidecar)
+
+    # instance enumeration: c-th cell of the row-major (inflated) span rect;
+    # the margin bit demotes cells outside the strict span rect
+    c = jax.lax.broadcasted_iota(jnp.int32, (1, span_cap), 1)
+    dy = c // w[:, None]
+    dx = c - dy * w[:, None]
+    cx = mx0[:, None] + dx
+    cy = my0[:, None] + dy
+    m_id = cy * n_mx + cx
+    strict = (
+        (cx >= sx0[:, None]) & (cx < (sx0 + sw)[:, None])
+        & (cy >= sy0[:, None]) & (cy < (sy0 + sh)[:, None])
+    )
+    ok = norm[:, None] & (c < jnp.minimum(span, span_cap)[:, None])
+    keys = jnp.where(
+        ok, m_id * r2 + jnp.where(strict, 0, r_pow2) + rank, sentinel
+    )
+
+    skeys = jax.lax.sort(keys.reshape(-1), is_stable=False)
+    bounds = jnp.arange(n_macro + 1, dtype=jnp.int32) * r2
+    off = jnp.searchsorted(skeys, bounds, side="left").astype(jnp.int32)
+    cnt = off[1:] - off[:-1]
+
+    j = jax.lax.broadcasted_iota(jnp.int32, (1, k_macro), 1)
+    pos = jnp.minimum(off[:-1, None] + j, n * span_cap - 1)
+    val = skeys[pos]
+    vld = j < jnp.minimum(cnt, k_macro)[:, None]
+    enc = jnp.where(vld, val & (r2 - 1), r2)  # margin_bit|rank, or sentinel
+
+    if k_big > 0:
+        big_idx, big_vld = compact_sort(in_sidecar, k_big)
+        bu, bv = u[big_idx], v[big_idx]
+        br = radius[big_idx]
+        brs = radius_strict[big_idx]
+        gx0 = (jnp.arange(n_macro, dtype=jnp.int32) % n_mx * cell).astype(
+            jnp.float32
+        )
+        gy0 = (jnp.arange(n_macro, dtype=jnp.int32) // n_mx * cell).astype(
+            jnp.float32
+        )
+
+        def overlap(r):
+            return (
+                big_vld[None, :]
+                & (bu[None, :] + r[None, :] >= gx0[:, None])
+                & (bu[None, :] - r[None, :] <= gx0[:, None] + cell - 1)
+                & (bv[None, :] + r[None, :] >= gy0[:, None])
+                & (bv[None, :] - r[None, :] <= gy0[:, None] + cell - 1)
+            )
+
+        ov = overlap(br)
+        ovs = overlap(brs)
+        bkeys = jnp.where(
+            ov, big_idx[None, :] + jnp.where(ovs, 0, r_pow2), r2
+        )
+        allk = jnp.concatenate([enc, bkeys], axis=1)
+        allk = jax.lax.sort(allk, dimension=1, is_stable=False)[:, :k_macro]
+        vld = allk < r2
+        enc = allk
+
+    return jnp.where(vld, enc & (r_pow2 - 1), 0), vld
 
 
 def tile_overlap_mask(mean2d, radius, valid, x0, y0, x1, y1):

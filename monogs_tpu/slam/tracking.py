@@ -36,7 +36,7 @@ import jax.numpy as jnp
 
 from ..ops import losses, se3
 from ..ops.sketch import SketchSpec, apply_sketch, damped_lstsq, make_sketch
-from ..render import RenderConfig, render
+from ..render import RenderConfig, build_tile_lists, render
 from ..render.camera import Intrinsics
 from ..render.renderer import GaussianArrays
 from .frame import FrameData
@@ -67,6 +67,12 @@ class TrackConfig(NamedTuple):
     so_converged: float = 1e-5
     use_first_order_best: bool = True
     use_best_loss: bool = True
+    # Frozen-tile-list fast path: bin once per phase with a pixel margin and
+    # reuse the lists for every iteration (binning sorts cost several ms in
+    # XLA; the camera moves only a few pixels within a frame). 0 disables.
+    bin_margin: float = 8.0
+    rebin_before_so: bool = True
+    rebin_so_every: int = 1   # >0: rebuild exact lists inside the so loop
 
 
 class TrackState(NamedTuple):
@@ -101,13 +107,14 @@ class TrackResult(NamedTuple):
     so_iters: jax.Array
 
 
-def _residual(gauss, frame: FrameData, T, p8, intr, cfg, tcfg: TrackConfig):
+def _residual(gauss, frame: FrameData, T, p8, intr, cfg, tcfg: TrackConfig,
+              lists=None):
     """Per-pixel residual image(s) + raw L1 scalar at pose Exp(p8[:6]) @ T.
 
     Mono: r = opacity * mask * (exposure(image) - gt)  [3,H,W]
     RGBD: additionally the masked depth residual        [1,H,W]
     """
-    out = render(gauss, T, intr, cfg, tau=p8[:6])
+    out = render(gauss, T, intr, cfg, tau=p8[:6], lists=lists)
     r_rgb = losses.tracking_residual_rgb(
         out.image, frame.gt_image, out.opacity, frame.mapping_mask, p8[6], p8[7]
     )
@@ -118,9 +125,9 @@ def _residual(gauss, frame: FrameData, T, p8, intr, cfg, tcfg: TrackConfig):
     return r_rgb, r_depth, out
 
 
-def _fo_loss(gauss, frame, T, p8, intr, cfg, tcfg: TrackConfig):
+def _fo_loss(gauss, frame, T, p8, intr, cfg, tcfg: TrackConfig, lists=None):
     """First-order tracking objective (slam_frontend.py:596-600)."""
-    r_rgb, r_depth, out = _residual(gauss, frame, T, p8, intr, cfg, tcfg)
+    r_rgb, r_depth, out = _residual(gauss, frame, T, p8, intr, cfg, tcfg, lists)
     if tcfg.use_huber:
         r_rgb = losses.huber_signed(r_rgb, tcfg.huber_delta)
         loss = jnp.sqrt(jnp.sum(r_rgb * r_rgb) + 1e-20)
@@ -136,11 +143,12 @@ def _fo_loss(gauss, frame, T, p8, intr, cfg, tcfg: TrackConfig):
     return loss, (l1, out)
 
 
-def _sketched_Sf(gauss, frame, T, p8, sketch: SketchSpec, intr, cfg, tcfg):
+def _sketched_Sf(gauss, frame, T, p8, sketch: SketchSpec, intr, cfg, tcfg,
+                 lists=None):
     """Bucketed residual sums Sf(p8) (slam_frontend.py:637-649), plus the
     raw L1 scalar (shares the render with Sf so each second-order iteration
     pays one primal render, not two)."""
-    r_rgb, r_depth, _ = _residual(gauss, frame, T, p8, intr, cfg, tcfg)
+    r_rgb, r_depth, _ = _residual(gauss, frame, T, p8, intr, cfg, tcfg, lists)
     l1 = jnp.sum(jnp.abs(r_rgb))
     if tcfg.use_huber:
         r_rgb = losses.huber_signed(r_rgb, tcfg.huber_delta)
@@ -153,6 +161,53 @@ def _sketched_Sf(gauss, frame, T, p8, sketch: SketchSpec, intr, cfg, tcfg):
     d = sketch.d
     r2 = r2 * (d / m)            # scale by d/m (:640)
     return apply_sketch(r2.reshape(-1), sketch), l1
+
+
+def _so_fast_step(gauss, frame, T, ea, eb, sketch, intr, cfg, tcfg, lists):
+    """(Sf, SJ, l1) via the fused forward-mode pallas kernel (monocular).
+
+    Replaces jax.linearize + 8 re-linearized evaluations with ONE pass that
+    renders the primal and all 6 pose tangents together
+    (render_pose_jvp); the exposure columns are chained analytically
+    (r = opa*M*((|ea|+eps)*img + eb - gt), so dr/dea = opa*M*img*sign(ea),
+    dr/deb = opa*M — slam_utils.py:115-185 semantics)."""
+    from ..render.renderer import render_pose_jvp
+
+    img, _, opa, img_t, _, opa_t = render_pose_jvp(gauss, T, intr, cfg, lists)
+    M = frame.mapping_mask
+    e = jnp.abs(ea) + losses.EXPOSURE_EPS
+    diff = (e * img + eb) - frame.gt_image
+    r = opa * M * diff
+    l1 = jnp.sum(jnp.abs(r))
+    if tcfg.use_huber:
+        delta = tcfg.huber_delta
+        ax = jnp.abs(r)
+        safe = jnp.sqrt(jnp.maximum(2.0 * delta * ax - delta * delta, 1e-20))
+        hub = jnp.where(ax < delta, r, jnp.sign(r) * safe)
+        slope = jnp.where(ax < delta, 1.0, delta / safe)
+    else:
+        hub = r
+        slope = jnp.ones_like(r)
+    m = img.shape[1] * img.shape[2]
+    d_over_m = sketch.d / m
+    Sf = apply_sketch((jnp.sum(hub, axis=0) * d_over_m).reshape(-1), sketch)
+
+    cols = [
+        M * (opa_t[k] * diff + opa * e * img_t[k]) for k in range(6)
+    ] + [
+        opa * M * img * jnp.sign(ea),
+        jnp.broadcast_to(opa * M, r.shape),
+    ]
+    SJ = jnp.stack(
+        [
+            apply_sketch(
+                (jnp.sum(slope * r_t, axis=0) * d_over_m).reshape(-1), sketch
+            )
+            for r_t in cols
+        ],
+        axis=1,
+    )
+    return Sf, SJ, l1
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "cfg", "tcfg"))
@@ -179,13 +234,21 @@ def track_frame(
     def p0(ea, eb):
         return jnp.concatenate([jnp.zeros(6), ea[None], eb[None]])
 
+    use_lists = tcfg.bin_margin > 0
+    lists_fo = (
+        build_tile_lists(gauss, T_init, intr, cfg_track, margin=tcfg.bin_margin)
+        if use_lists else None
+    )
+
     # ---------------- phase 1: first-order Adam ----------------
     def fo_cond(s: TrackState):
         return (s.i < tcfg.fo_max_iter) & jnp.logical_not(s.converged)
 
     def fo_body(s: TrackState):
         (loss, (l1, _)), g = jax.value_and_grad(
-            lambda p: _fo_loss(gauss, frame, s.T, p, intr, cfg_track, tcfg),
+            lambda p: _fo_loss(
+                gauss, frame, s.T, p, intr, cfg_track, tcfg, lists_fo
+            ),
             has_aux=True,
         )(p0(s.ea, s.eb))
         better = l1 < s.best_l1
@@ -225,23 +288,60 @@ def track_frame(
             # adopt the first-order best before second order (:465-470)
             s = s._replace(T=s.best_T, ea=s.best_ea, eb=s.best_eb)
         m_pix = frame.gt_image.shape[1] * frame.gt_image.shape[2]
+        lists_so = (
+            build_tile_lists(
+                gauss, s.T, intr, cfg_track, margin=tcfg.bin_margin
+            )
+            if (use_lists and tcfg.rebin_before_so) else lists_fo
+        )
 
         def so_cond(s: TrackState):
             return (s.i < tcfg.so_max_iter) & jnp.logical_not(s.converged)
 
+        # fused forward-mode path: pallas JVP kernel shares one primal
+        # across all pose tangents (monocular only; RGB-D falls back to
+        # jax.linearize below)
+        fast_so = (
+            cfg_track.backend == "pallas_lists"
+            and tcfg.monocular
+            and use_lists
+        )
+
         def so_body(s: TrackState):
             key, k1 = jax.random.split(s.key)
             sketch = make_sketch(k1, m_pix, tcfg.stack_dim, tcfg.sketch_dim)
-            p = p0(s.ea, s.eb)
 
-            # one primal render yields both Sf and the raw L1 (for lambda
-            # adaptation + best cache)
-            (Sf, l1), jvp = jax.linearize(
-                lambda q: _sketched_Sf(
-                    gauss, frame, s.T, q, sketch, intr, cfg_track, tcfg
-                ),
-                p,
-            )
+            if use_lists and tcfg.rebin_so_every:
+                # per-iteration rebinning (margin-free, exact at the current
+                # pose): binning costs ~10 ms vs the ~46 ms fused so step, and
+                # removes the stale-lists bias the LM would otherwise
+                # converge to (measured 5.5 -> ~4 mm at the bench config)
+                lists_it = build_tile_lists(gauss, s.T, intr, cfg_track)
+            else:
+                lists_it = lists_so
+
+            if fast_so:
+                Sf, SJ, l1 = _so_fast_step(
+                    gauss, frame, s.T, s.ea, s.eb, sketch, intr, cfg_track,
+                    tcfg, lists_it,
+                )
+            else:
+                p = p0(s.ea, s.eb)
+                # one primal render yields both Sf and the raw L1 (for
+                # lambda adaptation + best cache)
+                (Sf, l1), jvp = jax.linearize(
+                    lambda q: _sketched_Sf(
+                        gauss, frame, s.T, q, sketch, intr, cfg_track, tcfg,
+                        lists_it,
+                    ),
+                    p,
+                )
+                # evaluate the 8 tangent directions in pairs of 4 (a fully
+                # vmapped JVP multiplies the blend's transient memory by 8,
+                # which OOMs at full resolution)
+                SJ = jax.lax.map(
+                    lambda e: jvp(e)[0], jnp.eye(8), batch_size=4
+                ).T  # [d, 8]
             lam = jnp.where(
                 l1 < s.prev_l1,
                 jnp.maximum(s.lam / tcfg.decrease_factor, tcfg.min_lambda),
@@ -252,13 +352,6 @@ def track_frame(
             best_T = jnp.where(better, s.T, s.best_T)
             best_ea = jnp.where(better, s.ea, s.best_ea)
             best_eb = jnp.where(better, s.eb, s.best_eb)
-
-            # evaluate the 8 tangent directions in pairs of 4 (a fully
-            # vmapped JVP multiplies the blend's transient memory by 8,
-            # which OOMs at full resolution)
-            SJ = jax.lax.map(
-                lambda e: jvp(e)[0], jnp.eye(8), batch_size=4
-            ).T  # [d, 8]
             x = damped_lstsq(SJ, Sf, lam)
 
             T = se3.se3_exp(x[:6]) @ s.T

@@ -1,0 +1,202 @@
+"""Parity tests for the fused per-list Pallas blend (pallas_lists.py):
+forward, hand-derived VJP, and the 8-tangent JVP kernel, against the XLA
+blend path (itself golden-tested in test_render.py)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from monogs_tpu.render import Intrinsics, RenderConfig, render
+from tests.test_render import make_scene
+
+INTR = Intrinsics(fx=60.0, fy=60.0, cx=31.5, cy=23.5, width=64, height=48)
+XLA = RenderConfig(tile=16, macro_tiles=2, k_macro=256, k_fine=128,
+                   with_n_touched=False)
+PAL = XLA._replace(backend="pallas_lists", pallas_interpret=True)
+
+
+def test_forward_parity():
+    gauss = make_scene(96)
+    T = jnp.eye(4)
+    a = render(gauss, T, INTR, XLA)
+    b = render(gauss, T, INTR, PAL)
+    np.testing.assert_allclose(b.image, a.image, atol=2e-5)
+    np.testing.assert_allclose(b.depth, a.depth, atol=2e-4)
+    np.testing.assert_allclose(b.opacity, a.opacity, atol=2e-5)
+
+
+def test_vjp_parity():
+    gauss = make_scene(64, seed=5)
+    T = jnp.eye(4)
+    target = render(gauss, T, INTR, XLA).image + 0.03
+
+    def loss(cfg):
+        def f(leaves, tau):
+            g = gauss._replace(xyz=leaves[0], sh=leaves[1],
+                               log_scale=leaves[2], quat=leaves[3],
+                               opa_logit=leaves[4])
+            out = render(g, T, INTR, cfg, tau=tau)
+            return jnp.mean(jnp.abs(out.image - target))
+        return f
+
+    leaves = (gauss.xyz, gauss.sh, gauss.log_scale, gauss.quat,
+              gauss.opa_logit)
+    tau0 = jnp.zeros(6)
+    ga, gta = jax.grad(loss(XLA), argnums=(0, 1))(leaves, tau0)
+    gb, gtb = jax.grad(loss(PAL), argnums=(0, 1))(leaves, tau0)
+    np.testing.assert_allclose(gtb, gta, rtol=1e-3, atol=1e-6)
+    for name, x, y in zip(
+        ["xyz", "sh", "log_scale", "quat", "opa"], gb, ga
+    ):
+        np.testing.assert_allclose(x, y, rtol=1e-3, atol=1e-5, err_msg=name)
+
+
+def test_jvp8_parity():
+    """blend_lists_jvp8's tangents match jax.jvp through the XLA path."""
+    gauss = make_scene(48, seed=7)
+    T = jnp.eye(4)
+
+    def render_img(cfg, tau):
+        return render(gauss, T, INTR, cfg, tau=tau).image
+
+    # reference tangents via jvp through the XLA blend
+    tau0 = jnp.zeros(6)
+    ref = []
+    for k in range(6):
+        e = jnp.zeros(6).at[k].set(1.0)
+        _, dt = jax.jvp(lambda t: render_img(XLA, t), (tau0,), (e,))
+        ref.append(dt)
+
+    # pallas path: build lists + packed rows/tangents explicitly
+    from monogs_tpu.render.pallas_lists import blend_lists_jvp8
+    from monogs_tpu.render.renderer import (
+        _LOGO, _pack, _pixel_basis, _make_lists, _tile_origins,
+    )
+    from monogs_tpu.render.primitives import preprocess
+    from monogs_tpu.ops import se3
+
+    def packed_at(tau):
+        T_eff = se3.se3_exp(tau) @ T
+        prep = preprocess(gauss.xyz, gauss.log_scale, gauss.quat,
+                          gauss.opa_logit, gauss.sh, gauss.active, T_eff,
+                          INTR, sh_degree=0, near=XLA.near)
+        return _pack(prep), prep
+
+    packed0, prep0 = packed_at(tau0)
+    lists, _ = _make_lists(packed0[:, 0], packed0[:, 1], prep0.radius,
+                           prep0.valid, prep0.z, INTR, XLA)
+    tans = []
+    for k in range(6):
+        e = jnp.zeros(6).at[k].set(1.0)
+        _, dp = jax.jvp(lambda t: packed_at(t)[0], (tau0,), (e,))
+        tans.append(dp)
+    tan = jnp.stack(tans, axis=0)                       # [6, N, F]
+
+    vld = lists.vld & prep0.valid[lists.idx]
+    d = packed0[lists.idx]
+    logo = jnp.where(vld, d[..., _LOGO], -1e30)
+    d = jnp.concatenate([d[..., :_LOGO], logo[..., None],
+                         d[..., _LOGO + 1:]], axis=-1)
+    d_tan = jnp.where(vld[:, None, :, None], tan[:, lists.idx].transpose(
+        1, 0, 2, 3), 0.0)                               # [Tf, 6, Kf, F]
+    tile = XLA.tile
+    p = tile * tile
+    px = (jnp.arange(p) % tile).astype(jnp.float32)
+    py = (jnp.arange(p) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px, py)
+    tx0, ty0 = _tile_origins(INTR, XLA)
+    outs, touts = blend_lists_jvp8(d, d_tan, tx0, ty0, pmat, tile,
+                                   INTR.width, INTR.height, True)
+
+    # assemble tangent images and compare
+    n_mx = -(-INTR.width // XLA.macro_px)
+    n_my = -(-INTR.height // XLA.macro_px)
+    mt = XLA.macro_tiles
+
+    def assemble(x):
+        x = x.reshape(n_my, n_mx, mt, mt, tile, tile, 3)
+        x = x.transpose(0, 2, 4, 1, 3, 5, 6)
+        return x.reshape(n_my * XLA.macro_px, n_mx * XLA.macro_px, 3)[
+            :INTR.height, :INTR.width].transpose(2, 0, 1)
+
+    for k in range(6):
+        img_t = assemble(touts[:, k, :, :3])
+        np.testing.assert_allclose(
+            img_t, ref[k], rtol=1e-3, atol=1e-4,
+            err_msg=f"tangent dim {k}",
+        )
+
+
+def test_so_fast_step_matches_linearize():
+    """The fused forward-mode (Sf, SJ) matches jax.linearize of the XLA
+    path's bucketed residual."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops.sketch import make_sketch
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import (
+        TrackConfig, _sketched_Sf, _so_fast_step,
+    )
+    from monogs_tpu.ops import se3
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=256,
+                       with_n_touched=False)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=800, seed=0,
+                          sensor_type="monocular", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, _, T_gt = ds[0]
+    frame = make_frame_data(img, None, 1.1, 0.01, "synthetic")
+    T = se3.se3_exp(0.004 * jax.random.normal(jax.random.PRNGKey(3), (6,))
+                    ) @ T_gt
+    tcfg = TrackConfig(monocular=True)
+    sketch = make_sketch(jax.random.PRNGKey(7), intr.width * intr.height,
+                         8, 32)
+    lists = build_tile_lists(ds.scene, T, intr, cfg)
+    ea, eb = jnp.float32(1.05), jnp.float32(0.02)
+
+    p = jnp.concatenate([jnp.zeros(6), ea[None], eb[None]])
+    (Sf_ref, l1_ref), jvp = jax.linearize(
+        lambda q: _sketched_Sf(ds.scene, frame, T, q, sketch, intr, cfg,
+                               tcfg, lists),
+        p,
+    )
+    SJ_ref = jnp.stack([jvp(jnp.eye(8)[k])[0] for k in range(8)], axis=1)
+
+    cfg_pl = cfg._replace(backend="pallas_lists", pallas_interpret=True)
+    Sf, SJ, l1 = _so_fast_step(ds.scene, frame, T, ea, eb, sketch, intr,
+                               cfg_pl, tcfg, lists)
+    np.testing.assert_allclose(l1, l1_ref, rtol=1e-4)
+    np.testing.assert_allclose(Sf, Sf_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(SJ, SJ_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_tracking_fast_path_converges():
+    """Full track_frame with backend=pallas_lists (interpret) recovers a
+    perturbed pose like the XLA path does."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops import se3
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, track_frame
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=256,
+                       backend="pallas_lists", pallas_interpret=True)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=1500, seed=0,
+                          sensor_type="monocular", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, _, T_gt = ds[0]
+    frame = make_frame_data(img, None, 1.1, 0.01, "synthetic")
+    T0 = se3.se3_exp(0.008 * jax.random.normal(jax.random.PRNGKey(1), (6,))
+                     ) @ T_gt
+    tcfg = TrackConfig(monocular=True, fo_max_iter=30, so_max_iter=8,
+                       lr_trans=0.002, lr_rot=0.006,
+                       stack_dim=8, sketch_dim=64)
+    res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
+                      jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
+                      tcfg)
+    trans, _ = se3.pose_diff(res.T, T_gt)
+    trans0, _ = se3.pose_diff(T0, T_gt)
+    assert float(trans) < 0.3 * float(trans0), (float(trans), float(trans0))
