@@ -50,9 +50,13 @@ def main():
         tile=16, macro_tiles=4, k_macro=1024, k_fine=96, macro_chunk=16,
         backend="pallas_lists",
     )
+    # fo_tile_frac=0.25: the first-order phase optimizes a fixed random
+    # quarter of the fine tiles (the reference's first_order.num_pixels
+    # subsampling, tile-wise) — measured 1.39 fps at 3.75 mm mean pose error
+    # vs 0.96 fps / 3.92 mm full-image, same 40+10 iteration budget.
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=40, so_max_iter=10,
-        stack_dim=16, sketch_dim=64,
+        stack_dim=16, sketch_dim=64, fo_tile_frac=0.25,
     )
 
     n_gauss = 100_000

@@ -569,6 +569,86 @@ def render(
     )
 
 
+def render_tiles(
+    gauss: GaussianArrays,
+    T_cw,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    lists_sub: TileLists,
+    tx0s,
+    ty0s,
+    tau=None,
+):
+    """Blend ONLY the given tile subset; no image assembly.
+
+    lists_sub: TileLists restricted to S tiles (rows of a full build's lists
+    gathered by the caller); tx0s/ty0s: [S] their pixel origins. Returns
+    (color [S,P,3], depth [S,P], acc [S,P]) with zero background.
+    Differentiable in gauss/tau. The TPU-native equivalent of the reference's
+    first-order pixel subsampling (Training.RGN.first_order.num_pixels,
+    slam_frontend.py:250-257): SGD over a tile subset instead of a pixel
+    subset, so the blend stays dense.
+    """
+    T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    prep = preprocess(
+        gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit, gauss.sh,
+        gauss.active, T_eff, intr,
+        sh_degree=cfg.sh_degree, near=cfg.near,
+    )
+    packed = _pack(prep)
+    tile = cfg.tile
+    p = tile * tile
+    px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
+    py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px_local, py_local)
+    W, H = intr.width, intr.height
+    vld = lists_sub.vld & prep.valid[lists_sub.idx]
+
+    if cfg.backend == "pallas_lists":
+        assert cfg.k_fine % 16 == 0
+        from .pallas_lists import blend_lists_pallas
+
+        d = packed[lists_sub.idx]                           # [S, Kf, F]
+        logo = jnp.where(vld, d[..., _LOGO], -1e30)
+        d = jnp.concatenate(
+            [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
+        )
+        outs = blend_lists_pallas(
+            d, tx0s, ty0s, pmat, tile, W, H, cfg.pallas_interpret
+        )                                                   # [S, P, 8]
+        return outs[..., :3], outs[..., 3], outs[..., 4]
+
+    bg0 = jnp.zeros((3,), jnp.float32)
+
+    def blend_tile(args):
+        idx, vf, x0, y0 = args
+        d = packed[idx]
+        px = x0 + px_local
+        py = y0 + py_local
+        pix_ok = (px <= W - 1) & (py <= H - 1)
+        color, depth, acc, _ = _blend(d, vf, x0, y0, pmat, bg0, pix_ok)
+        return color, depth, acc
+
+    colors, depths, accs = jax.vmap(
+        lambda i, v, x, y: jax.checkpoint(blend_tile)((i, v, x, y))
+    )(lists_sub.idx, vld, tx0s, ty0s)
+    return colors, depths, accs
+
+
+def tile_images(img, intr: Intrinsics, cfg: RenderConfig):
+    """[C,H,W] -> [n_fine, P, C] per-fine-tile pixels (zero-padded at the
+    image edges), tiles in the same macro-major order as _tile_origins."""
+    c, H, W = img.shape
+    mpx = cfg.macro_px
+    tile = cfg.tile
+    n_mx = -(-W // mpx)
+    n_my = -(-H // mpx)
+    x = jnp.pad(img, ((0, 0), (0, n_my * mpx - H), (0, n_mx * mpx - W)))
+    x = x.reshape(c, n_my, cfg.macro_tiles, tile, n_mx, cfg.macro_tiles, tile)
+    x = x.transpose(1, 4, 2, 5, 3, 6, 0)   # [my, mx, fy, fx, ty, tx, c]
+    return x.reshape(n_mx * n_my * cfg.macro_tiles ** 2, tile * tile, c)
+
+
 def render_pose_jvp(
     gauss: GaussianArrays,
     T_cw,

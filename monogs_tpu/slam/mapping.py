@@ -64,6 +64,14 @@ class MapConfig(NamedTuple):
     lambda_dssim: float = 0.2
     clone_cap: int = 8192
     split_cap: int = 4096
+    # Frozen per-view tile lists (see render/renderer.py TileLists): built
+    # with a strict-priority margin and reused across mapping iterations —
+    # map params and window poses move very little per Adam step, so the
+    # binning (≈10 ms/view) re-runs only every rebin_every iterations and
+    # immediately after densify/prune/reset (new gaussians are invisible
+    # until they enter the lists). 0 disables (bin every render).
+    bin_margin: float = 4.0
+    rebin_every: int = 25
 
 
 class CamBatch(NamedTuple):
@@ -92,9 +100,10 @@ def empty_cam_batch(b: int, h: int, w: int) -> CamBatch:
 
 
 def _mapping_loss_one(gauss, cam, tau, intr, cfg, mcfg: MapConfig,
-                      means2d_offset, initialization: bool):
+                      means2d_offset, initialization: bool, lists=None):
     """Render one view and compute its mapping loss (slam_utils.py:224-253)."""
-    out = render(gauss, cam.T, intr, cfg, tau=tau, means2d_offset=means2d_offset)
+    out = render(gauss, cam.T, intr, cfg, tau=tau,
+                 means2d_offset=means2d_offset, lists=lists)
     if mcfg.monocular:
         loss = losses.mapping_loss_rgb(
             out.image, cam.gt_image, cam.mapping_mask, cam.ea, cam.eb,
@@ -109,24 +118,28 @@ def _mapping_loss_one(gauss, cam, tau, intr, cfg, mcfg: MapConfig,
 
 
 def _batch_loss(params: gm.ParamLeaves, taus, eas, ebs, cams: CamBatch,
-                active, means2d_offsets, intr, cfg, mcfg, initialization):
+                active, means2d_offsets, intr, cfg, mcfg, initialization,
+                lists_b=None):
     """Total mapping loss over the batch + isotropic regularizer.
 
     taus/eas/ebs override the pose tangent and exposure of each view so that
     gradients flow to them; renders run sequentially (lax.map) to bound
-    memory at B renders' worth of tile intermediates.
+    memory at B renders' worth of tile intermediates. lists_b optionally
+    carries frozen per-view TileLists (stacked on axis 0).
     """
     gauss = _gauss_view(params, active)
 
     def one(args):
-        cam, tau, ea, eb, off = args
+        cam, tau, ea, eb, off, lst = args
         cam = cam._replace(ea=ea, eb=eb)
         loss, radii = _mapping_loss_one(
-            gauss, cam, tau, intr, cfg, mcfg, off, initialization
+            gauss, cam, tau, intr, cfg, mcfg, off, initialization, lists=lst
         )
         return jnp.where(cam.valid, loss, 0.0), radii
 
-    per_view, radii = jax.lax.map(one, (cams, taus, eas, ebs, means2d_offsets))
+    per_view, radii = jax.lax.map(
+        one, (cams, taus, eas, ebs, means2d_offsets, lists_b)
+    )
     total = jnp.sum(per_view)
     scaling = jnp.exp(params.log_scale)
     total = total + mcfg.isotropic_weight * losses.isotropic_reg(scaling, active)
@@ -150,6 +163,9 @@ class MapStepCarry(NamedTuple):
     kf_adam_t: jax.Array
     it_count: jax.Array     # global backend iteration counter
     key: jax.Array
+    lists_idx: jax.Array    # [B, Tf, Kf] frozen per-view tile lists
+    lists_vld: jax.Array
+    since_rebin: jax.Array  # iterations since the lists were rebuilt
 
 
 def new_kf_adam(b: int):
@@ -195,19 +211,35 @@ def map_iters(
         + [mcfg.lr_exposure_a, mcfg.lr_exposure_b],
         jnp.float32,
     )
+    use_lists = mcfg.bin_margin > 0
+
+    def build_lists(mc, cams_c):
+        from ..render import build_tile_lists
+
+        gauss = _gauss_view(mc.params, mc.active)
+        return jax.lax.map(
+            lambda T: build_tile_lists(
+                gauss, T, intr, cfg_iter, margin=mcfg.bin_margin
+            ),
+            cams_c.T,
+        )
 
     def body(_, carry: MapStepCarry):
-        mc, cams_c, kam, kav, kat, itc, key = carry
+        (mc, cams_c, kam, kav, kat, itc, key,
+         l_idx, l_vld, since) = carry
         itc = itc + 1
         key, k_dens = jax.random.split(key)
 
         taus0 = jnp.zeros((b, 6))
         offs0 = jnp.zeros((b, n, 2))
+        from ..render.renderer import TileLists
+
+        lists_b = TileLists(idx=l_idx, vld=l_vld) if use_lists else None
 
         (loss, radii), grads = jax.value_and_grad(
             lambda params, taus, eas, ebs, offs: _batch_loss(
                 params, taus, eas, ebs, cams_c, mc.active, offs,
-                intr, cfg_iter, mcfg, initialization,
+                intr, cfg_iter, mcfg, initialization, lists_b,
             ),
             argnums=(0, 1, 2, 3, 4),
             has_aux=True,
@@ -288,14 +320,37 @@ def map_iters(
             )
             kam, kav, kat = kam2, kav2, kat2
 
-        return MapStepCarry(mc, cams_c, kam, kav, kat, itc, key)
+        if use_lists:
+            # rebuild lists when stale or when the gaussian SET changed
+            # (densify/prune inserts slots no stale list references)
+            since = since + 1
+            need = (since >= mcfg.rebin_every) | do_dens
+            lists_new = jax.lax.cond(
+                need,
+                lambda: build_lists(mc, cams_c),
+                lambda: TileLists(idx=l_idx, vld=l_vld),
+            )
+            l_idx, l_vld = lists_new.idx, lists_new.vld
+            since = jnp.where(need, 0, since)
+
+        return MapStepCarry(mc, cams_c, kam, kav, kat, itc, key,
+                            l_idx, l_vld, since)
 
     if kf_adam is None:
         kf_adam = new_kf_adam(b)
+    from ..render.renderer import TileLists  # noqa: F811
+
+    if use_lists:
+        lists0 = build_lists(m, cams)
+    else:
+        z = jnp.zeros((b, 1, 1))
+        lists0 = TileLists(idx=z.astype(jnp.int32), vld=z.astype(bool))
     carry = MapStepCarry(
         m=m, cams=cams,
         kf_adam_m=kf_adam[0], kf_adam_v=kf_adam[1],
         kf_adam_t=kf_adam[2], it_count=it_count, key=key,
+        lists_idx=lists0.idx, lists_vld=lists0.vld,
+        since_rebin=jnp.int32(0),
     )
     carry = jax.lax.fori_loop(0, n_iters, body, carry)
 

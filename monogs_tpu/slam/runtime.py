@@ -47,6 +47,7 @@ def render_config_from_config(config, intr: Intrinsics) -> RenderConfig:
         k_fine=rc.get("k_fine", 512),
         sh_degree=sh_degree,
         macro_chunk=rc.get("macro_chunk", 0),
+        backend=rc.get("backend", "xla"),
     )
 
 
@@ -76,6 +77,9 @@ def track_config_from_config(config) -> TrackConfig:
         so_converged=rgn["second_order"]["converged_threshold"],
         use_first_order_best=rgn["second_order"].get("use_first_order_best", True),
         use_best_loss=rgn.get("use_best_loss", True),
+        bin_margin=rgn.get("bin_margin", 8.0),
+        rebin_so_every=rgn.get("rebin_so_every", 1),
+        fo_tile_frac=rgn["first_order"].get("tile_frac", 1.0),
     )
 
 

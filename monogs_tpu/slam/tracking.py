@@ -73,6 +73,14 @@ class TrackConfig(NamedTuple):
     bin_margin: float = 8.0
     rebin_before_so: bool = True
     rebin_so_every: int = 1   # >0: rebuild exact lists inside the so loop
+    # First-order tile subsampling (the reference's
+    # Training.RGN.first_order.num_pixels knob, slam_frontend.py:250-257,
+    # re-expressed tile-wise so the blend stays dense): optimize the photo-
+    # metric loss over a fixed random subset of this fraction of the fine
+    # tiles. The subset is drawn once per frame so the fo objective is
+    # static (best-loss caching stays meaningful); the second-order phase
+    # always uses the full image. 1.0 disables. Requires bin_margin > 0.
+    fo_tile_frac: float = 1.0
 
 
 class TrackState(NamedTuple):
@@ -163,6 +171,38 @@ def _sketched_Sf(gauss, frame, T, p8, sketch: SketchSpec, intr, cfg, tcfg,
     return apply_sketch(r2.reshape(-1), sketch), l1
 
 
+def _fo_loss_tiles(gauss, T, p8, intr, cfg, tcfg: TrackConfig,
+                   lists_sub, tx0s, ty0s, gt_t, mask_t, gtd_t, scale):
+    """First-order objective over a tile subset (see TrackConfig.fo_tile_frac).
+
+    gt_t/mask_t: [S,P,3]/[S,P,1] tiled ground truth; gtd_t: [S,P,1] or None.
+    Semantics match _fo_loss with bg=0: r = acc * M * (exposure(color) - gt).
+    `scale` (n_fine/n_sub) makes the returned l1 an unbiased estimate of the
+    full-image L1 so best-loss caching stays comparable with the so phase.
+    """
+    from ..render.renderer import render_tiles
+
+    col, dep, acc = render_tiles(
+        gauss, T, intr, cfg, lists_sub, tx0s, ty0s, tau=p8[:6]
+    )
+    e = jnp.abs(p8[6]) + losses.EXPOSURE_EPS
+    r = acc[..., None] * mask_t * ((e * col + p8[7]) - gt_t)    # [S,P,3]
+    l1 = jnp.sum(jnp.abs(r)) * scale
+    if tcfg.use_huber:
+        r = losses.huber_signed(r, tcfg.huber_delta)
+        loss = jnp.sqrt(jnp.sum(r * r) + 1e-20)
+    else:
+        loss = jnp.sum(jnp.abs(r) ** tcfg.pnorm) ** (1.0 / tcfg.pnorm)
+    if not tcfg.monocular:
+        depth_mask = (gtd_t > 0.01) & (acc[..., None] > 0.95)
+        r_d = jnp.where(depth_mask, dep[..., None] - gtd_t, 0.0)
+        m = r.size
+        loss = tcfg.alpha * loss + (1 - tcfg.alpha) * jnp.sqrt(
+            jnp.sum(r_d * r_d) * (m / r_d.size) + 1e-20
+        )
+    return loss, l1
+
+
 def _so_fast_step(gauss, frame, T, ea, eb, sketch, intr, cfg, tcfg, lists):
     """(Sf, SJ, l1) via the fused forward-mode pallas kernel (monocular).
 
@@ -240,17 +280,45 @@ def track_frame(
         if use_lists else None
     )
 
+    fo_sub = use_lists and tcfg.fo_tile_frac < 1.0 and tcfg.fo_max_iter > 0
+    if fo_sub:
+        from ..render.renderer import TileLists, _tile_origins, tile_images
+
+        tx0f, ty0f = _tile_origins(intr, cfg_track)
+        n_fine = tx0f.shape[0]
+        n_sub = max(8, int(n_fine * tcfg.fo_tile_frac) // 8 * 8)
+        key, ksub = jax.random.split(key)
+        tsel = jax.random.permutation(ksub, n_fine)[:n_sub]
+        lists_sub = TileLists(idx=lists_fo.idx[tsel], vld=lists_fo.vld[tsel])
+        tx0s, ty0s = tx0f[tsel], ty0f[tsel]
+        gt_t = tile_images(frame.gt_image, intr, cfg_track)[tsel]
+        mask_t = tile_images(frame.mapping_mask, intr, cfg_track)[tsel]
+        gtd_t = (
+            tile_images(frame.gt_depth, intr, cfg_track)[tsel]
+            if not tcfg.monocular else None
+        )
+        sub_scale = n_fine / n_sub
+
     # ---------------- phase 1: first-order Adam ----------------
     def fo_cond(s: TrackState):
         return (s.i < tcfg.fo_max_iter) & jnp.logical_not(s.converged)
 
     def fo_body(s: TrackState):
-        (loss, (l1, _)), g = jax.value_and_grad(
-            lambda p: _fo_loss(
-                gauss, frame, s.T, p, intr, cfg_track, tcfg, lists_fo
-            ),
-            has_aux=True,
-        )(p0(s.ea, s.eb))
+        if fo_sub:
+            (loss, l1), g = jax.value_and_grad(
+                lambda p: _fo_loss_tiles(
+                    gauss, s.T, p, intr, cfg_track, tcfg, lists_sub,
+                    tx0s, ty0s, gt_t, mask_t, gtd_t, sub_scale,
+                ),
+                has_aux=True,
+            )(p0(s.ea, s.eb))
+        else:
+            (loss, (l1, _)), g = jax.value_and_grad(
+                lambda p: _fo_loss(
+                    gauss, frame, s.T, p, intr, cfg_track, tcfg, lists_fo
+                ),
+                has_aux=True,
+            )(p0(s.ea, s.eb))
         better = l1 < s.best_l1
         best_l1 = jnp.where(better, l1, s.best_l1)
         best_T = jnp.where(better, s.T, s.best_T)

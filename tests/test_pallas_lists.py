@@ -200,3 +200,66 @@ def test_tracking_fast_path_converges():
     trans, _ = se3.pose_diff(res.T, T_gt)
     trans0, _ = se3.pose_diff(T0, T_gt)
     assert float(trans) < 0.3 * float(trans0), (float(trans), float(trans0))
+
+
+def test_render_tiles_parity():
+    """render_tiles on ALL tiles matches the assembled full render."""
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import (
+        _tile_origins, render_tiles, tile_images,
+    )
+
+    gauss = make_scene(80, seed=3)
+    T = jnp.eye(4)
+    lists = build_tile_lists(gauss, T, INTR, XLA)
+    tx0, ty0 = _tile_origins(INTR, XLA)
+    col, dep, acc = render_tiles(gauss, T, INTR, XLA, lists, tx0, ty0)
+
+    full = render(gauss, T, INTR, XLA)
+    gt_col = tile_images(full.image, INTR, XLA)          # [Tf, P, 3]
+    gt_dep = tile_images(full.depth, INTR, XLA)[..., 0]
+    gt_acc = tile_images(full.opacity, INTR, XLA)[..., 0]
+    # edge tiles: render_tiles computes out-of-image pixels too (they are
+    # cropped by assembly); compare only in-image pixels
+    tile = XLA.tile
+    p = tile * tile
+    px = tx0[:, None] + (jnp.arange(p) % tile)[None, :]
+    py = ty0[:, None] + (jnp.arange(p) // tile)[None, :]
+    inside = (px <= INTR.width - 1) & (py <= INTR.height - 1)
+    m3 = inside[..., None]
+    np.testing.assert_allclose(
+        jnp.where(m3, col, 0.0), jnp.where(m3, gt_col, 0.0), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        jnp.where(inside, dep, 0.0), jnp.where(inside, gt_dep, 0.0), atol=1e-4
+    )
+    np.testing.assert_allclose(
+        jnp.where(inside, acc, 0.0), jnp.where(inside, gt_acc, 0.0), atol=1e-5
+    )
+
+
+def test_tracking_fo_tile_subsample_converges():
+    """fo-only tracking over a half-tile subset still recovers the pose."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops import se3
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, track_frame
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=256)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=1500, seed=0,
+                          sensor_type="monocular", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, _, T_gt = ds[0]
+    frame = make_frame_data(img, None, 1.1, 0.01, "synthetic")
+    T0 = se3.se3_exp(0.006 * jax.random.normal(jax.random.PRNGKey(1), (6,))
+                     ) @ T_gt
+    tcfg = TrackConfig(monocular=True, fo_max_iter=40, so_max_iter=0,
+                       lr_trans=0.002, lr_rot=0.006, fo_tile_frac=0.5)
+    res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
+                      jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
+                      tcfg)
+    trans, _ = se3.pose_diff(res.T, T_gt)
+    trans0, _ = se3.pose_diff(T0, T_gt)
+    assert float(trans) < 0.4 * float(trans0), (float(trans), float(trans0))
