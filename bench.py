@@ -50,13 +50,14 @@ def main():
         tile=16, macro_tiles=4, k_macro=1024, k_fine=96, macro_chunk=16,
         backend="pallas_lists",
     )
-    # fo_tile_frac=0.25: the first-order phase optimizes a fixed random
-    # quarter of the fine tiles (the reference's first_order.num_pixels
-    # subsampling, tile-wise) — measured 1.39 fps at 3.75 mm mean pose error
-    # vs 0.96 fps / 3.92 mm full-image, same 40+10 iteration budget.
+    # Tile subsampling (the reference's first_order.num_pixels knob, tile-
+    # wise): both phases optimize fixed random quarters of the fine tiles —
+    # measured 1.9 fps at 3.75 mm mean pose error vs 0.96 fps / 3.92 mm
+    # full-image, same 40+10 iteration budget (the 1024-bucket sketch over a
+    # quarter of the pixels still fully constrains the 8-dim solve).
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=40, so_max_iter=10,
-        stack_dim=16, sketch_dim=64, fo_tile_frac=0.25,
+        stack_dim=16, sketch_dim=64, fo_tile_frac=0.25, so_tile_frac=0.25,
     )
 
     n_gauss = 100_000

@@ -656,6 +656,7 @@ def render_pose_jvp(
     cfg: RenderConfig,
     lists: TileLists,
     bg=None,
+    tsel=None,
 ):
     """Render + all 6 SE(3) pose-tangent pushforwards in ONE fused pass.
 
@@ -669,6 +670,10 @@ def render_pose_jvp(
 
     Returns (image [3,H,W], depth [1,H,W], opacity [1,H,W],
              image_t [6,3,H,W], depth_t [6,1,H,W], opacity_t [6,1,H,W]).
+
+    With `tsel` ([S] int32 fine-tile indices) the blend and tangents run only
+    over that tile subset; all other tiles come out ZERO in the returned
+    images (the second-order tracker's tile-subsampled sketch estimator).
     """
     assert cfg.k_fine % 16 == 0
     from .pallas_lists import blend_lists_jvp8
@@ -691,14 +696,6 @@ def render_pose_jvp(
         [jvp_fn(jnp.eye(6)[k])[0] for k in range(6)], axis=0
     )                                                   # [6, N, F]
 
-    vld = lists.vld & valid[lists.idx]
-    d = packed[lists.idx]                               # [Tf, Kf, F]
-    logo = jnp.where(vld, d[..., _LOGO], -1e30)
-    d = jnp.concatenate(
-        [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
-    )
-    d_tan = tans[:, lists.idx].transpose(1, 0, 2, 3)    # [Tf, 6, Kf, F]
-
     tile = cfg.tile
     p = tile * tile
     px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
@@ -706,14 +703,31 @@ def render_pose_jvp(
     pmat = _pixel_basis(px_local, py_local)
     tx0, ty0 = _tile_origins(intr, cfg)
     W, H = intr.width, intr.height
-    outs, touts = blend_lists_jvp8(
-        d, d_tan, tx0, ty0, pmat, tile, W, H, cfg.pallas_interpret
-    )                                                   # [Tf,P,8],[Tf,6,P,8]
-
     mpx = cfg.macro_px
     n_mx = -(-W // mpx)
     n_my = -(-H // mpx)
     n_fine = n_mx * n_my * cfg.macro_tiles * cfg.macro_tiles
+
+    if tsel is not None:
+        idx_s = lists.idx[tsel]
+        vld_s = lists.vld[tsel]
+        txs, tys = tx0[tsel], ty0[tsel]
+    else:
+        idx_s, vld_s, txs, tys = lists.idx, lists.vld, tx0, ty0
+    vld = vld_s & valid[idx_s]
+    d = packed[idx_s]                                   # [S, Kf, F]
+    logo = jnp.where(vld, d[..., _LOGO], -1e30)
+    d = jnp.concatenate(
+        [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
+    )
+    d_tan = tans[:, idx_s].transpose(1, 0, 2, 3)        # [S, 6, Kf, F]
+
+    outs, touts = blend_lists_jvp8(
+        d, d_tan, txs, tys, pmat, tile, W, H, cfg.pallas_interpret
+    )                                                   # [S,P,8],[S,6,P,8]
+    if tsel is not None:
+        outs = jnp.zeros((n_fine,) + outs.shape[1:]).at[tsel].set(outs)
+        touts = jnp.zeros((n_fine,) + touts.shape[1:]).at[tsel].set(touts)
 
     def assemble(x, c):
         x = x.reshape(n_my, n_mx, cfg.macro_tiles, cfg.macro_tiles,

@@ -78,9 +78,11 @@ class TrackConfig(NamedTuple):
     # re-expressed tile-wise so the blend stays dense): optimize the photo-
     # metric loss over a fixed random subset of this fraction of the fine
     # tiles. The subset is drawn once per frame so the fo objective is
-    # static (best-loss caching stays meaningful); the second-order phase
-    # always uses the full image. 1.0 disables. Requires bin_margin > 0.
+    # static (best-loss caching stays meaningful). 1.0 disables. Requires
+    # bin_margin > 0. so_tile_frac subsamples the second-order sketched
+    # system the same way (fast_so path only).
     fo_tile_frac: float = 1.0
+    so_tile_frac: float = 1.0
 
 
 class TrackState(NamedTuple):
@@ -203,22 +205,31 @@ def _fo_loss_tiles(gauss, T, p8, intr, cfg, tcfg: TrackConfig,
     return loss, l1
 
 
-def _so_fast_step(gauss, frame, T, ea, eb, sketch, intr, cfg, tcfg, lists):
+def _so_fast_step(gauss, frame, T, ea, eb, sketch, intr, cfg, tcfg, lists,
+                  tsel=None, scale=1.0):
     """(Sf, SJ, l1) via the fused forward-mode pallas kernel (monocular).
 
     Replaces jax.linearize + 8 re-linearized evaluations with ONE pass that
     renders the primal and all 6 pose tangents together
     (render_pose_jvp); the exposure columns are chained analytically
     (r = opa*M*((|ea|+eps)*img + eb - gt), so dr/dea = opa*M*img*sign(ea),
-    dr/deb = opa*M — slam_utils.py:115-185 semantics)."""
+    dr/deb = opa*M — slam_utils.py:115-185 semantics).
+
+    With tsel (tile subsampling, TrackConfig.so_tile_frac) only the subset
+    tiles render — their opacity is zero elsewhere, which zeroes the
+    residual and every Jacobian column there — and Sf/SJ/l1 are scaled by
+    1/frac so they stay unbiased estimates of the full-image quantities
+    (keeps the LM lambda semantics and cross-phase best-loss comparisons)."""
     from ..render.renderer import render_pose_jvp
 
-    img, _, opa, img_t, _, opa_t = render_pose_jvp(gauss, T, intr, cfg, lists)
+    img, _, opa, img_t, _, opa_t = render_pose_jvp(
+        gauss, T, intr, cfg, lists, tsel=tsel
+    )
     M = frame.mapping_mask
     e = jnp.abs(ea) + losses.EXPOSURE_EPS
     diff = (e * img + eb) - frame.gt_image
     r = opa * M * diff
-    l1 = jnp.sum(jnp.abs(r))
+    l1 = jnp.sum(jnp.abs(r)) * scale
     if tcfg.use_huber:
         delta = tcfg.huber_delta
         ax = jnp.abs(r)
@@ -229,7 +240,7 @@ def _so_fast_step(gauss, frame, T, ea, eb, sketch, intr, cfg, tcfg, lists):
         hub = r
         slope = jnp.ones_like(r)
     m = img.shape[1] * img.shape[2]
-    d_over_m = sketch.d / m
+    d_over_m = sketch.d / m * scale
     Sf = apply_sketch((jnp.sum(hub, axis=0) * d_over_m).reshape(-1), sketch)
 
     cols = [
@@ -374,6 +385,15 @@ def track_frame(
             and tcfg.monocular
             and use_lists
         )
+        so_tsel, so_scale = None, 1.0
+        if fast_so and tcfg.so_tile_frac < 1.0:
+            from ..render.renderer import _tile_origins
+
+            n_fine_so = _tile_origins(intr, cfg_track)[0].shape[0]
+            n_sub_so = max(8, int(n_fine_so * tcfg.so_tile_frac) // 8 * 8)
+            kso = jax.random.fold_in(key, 1)
+            so_tsel = jax.random.permutation(kso, n_fine_so)[:n_sub_so]
+            so_scale = n_fine_so / n_sub_so
 
         def so_body(s: TrackState):
             key, k1 = jax.random.split(s.key)
@@ -391,7 +411,7 @@ def track_frame(
             if fast_so:
                 Sf, SJ, l1 = _so_fast_step(
                     gauss, frame, s.T, s.ea, s.eb, sketch, intr, cfg_track,
-                    tcfg, lists_it,
+                    tcfg, lists_it, tsel=so_tsel, scale=so_scale,
                 )
             else:
                 p = p0(s.ea, s.eb)

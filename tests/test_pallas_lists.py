@@ -263,3 +263,32 @@ def test_tracking_fo_tile_subsample_converges():
     trans, _ = se3.pose_diff(res.T, T_gt)
     trans0, _ = se3.pose_diff(T0, T_gt)
     assert float(trans) < 0.4 * float(trans0), (float(trans), float(trans0))
+
+
+def test_tracking_so_tile_subsample_converges():
+    """so-phase tile-subsampled sketch still refines the pose."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops import se3
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, track_frame
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=256,
+                       backend="pallas_lists", pallas_interpret=True)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=1500, seed=0,
+                          sensor_type="monocular", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, _, T_gt = ds[0]
+    frame = make_frame_data(img, None, 1.1, 0.01, "synthetic")
+    T0 = se3.se3_exp(0.006 * jax.random.normal(jax.random.PRNGKey(2), (6,))
+                     ) @ T_gt
+    tcfg = TrackConfig(monocular=True, fo_max_iter=20, so_max_iter=8,
+                       lr_trans=0.002, lr_rot=0.006,
+                       stack_dim=8, sketch_dim=64, so_tile_frac=0.5)
+    res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
+                      jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
+                      tcfg)
+    trans, _ = se3.pose_diff(res.T, T_gt)
+    trans0, _ = se3.pose_diff(T0, T_gt)
+    assert float(trans) < 0.3 * float(trans0), (float(trans), float(trans0))
