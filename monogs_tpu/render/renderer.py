@@ -569,6 +569,67 @@ def render(
     )
 
 
+def render_pose_jvp_tiles(
+    gauss: GaussianArrays,
+    T_cw,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    lists: TileLists,
+    tsel=None,
+):
+    """Raw tile-space primal + 6 pose tangents (no image assembly).
+
+    The second-order tracker's preferred form: outs [S,P,8] with columns
+    (r,g,b,depth,acc,pad3) and touts [S,6,P,8] their pose-tangent
+    pushforwards, where S = tsel's tiles (or all fine tiles). Gather-first:
+    preprocess and its tangents run on the subset's S*Kf rows, not all N.
+    """
+    assert cfg.k_fine % 16 == 0
+    from .pallas_lists import blend_lists_jvp8
+
+    tile = cfg.tile
+    p = tile * tile
+    px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
+    py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px_local, py_local)
+    tx0, ty0 = _tile_origins(intr, cfg)
+    if tsel is not None:
+        idx_s = lists.idx[tsel]
+        vld_s = lists.vld[tsel]
+        txs, tys = tx0[tsel], ty0[tsel]
+    else:
+        idx_s, vld_s, txs, tys = lists.idx, lists.vld, tx0, ty0
+    s_tiles, kf = idx_s.shape
+    fi = idx_s.reshape(-1)
+
+    def pp(tau):
+        T_eff = se3.se3_exp(tau) @ T_cw
+        prep = preprocess(
+            gauss.xyz[fi], gauss.log_scale[fi], gauss.quat[fi],
+            gauss.opa_logit[fi], gauss.sh[fi], gauss.active[fi], T_eff, intr,
+            sh_degree=cfg.sh_degree, near=cfg.near,
+        )
+        return _pack(prep), prep.valid
+
+    (rows, valid), jvp_fn = jax.linearize(pp, jnp.zeros(6))
+    row_tans = jnp.stack(
+        [jvp_fn(jnp.eye(6)[k])[0] for k in range(6)], axis=0
+    )                                                   # [6, S*Kf, F]
+
+    vld = vld_s & valid.reshape(s_tiles, kf)
+    d = rows.reshape(s_tiles, kf, _F)
+    logo = jnp.where(vld, d[..., _LOGO], -1e30)
+    d = jnp.concatenate(
+        [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
+    )
+    d_tan = row_tans.reshape(6, s_tiles, kf, _F).transpose(1, 0, 2, 3)
+
+    return blend_lists_jvp8(
+        d, d_tan, txs, tys, pmat, tile, intr.width, intr.height,
+        cfg.pallas_interpret,
+    )                                                   # [S,P,8],[S,6,P,8]
+
+
 def render_tiles(
     gauss: GaussianArrays,
     T_cw,
@@ -588,27 +649,34 @@ def render_tiles(
     first-order pixel subsampling (Training.RGN.first_order.num_pixels,
     slam_frontend.py:250-257): SGD over a tile subset instead of a pixel
     subset, so the blend stays dense.
+
+    Gather-first: the subset's gaussian parameters are gathered BEFORE
+    preprocess, so per-call geometry work scales with S*Kf rows (with
+    duplicates) instead of N — and the pose-gradient VJP needs no scatter
+    back into an [N]-shaped buffer at all.
     """
     T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    s_tiles, kf = lists_sub.idx.shape
+    fi = lists_sub.idx.reshape(-1)
     prep = preprocess(
-        gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit, gauss.sh,
-        gauss.active, T_eff, intr,
+        gauss.xyz[fi], gauss.log_scale[fi], gauss.quat[fi],
+        gauss.opa_logit[fi], gauss.sh[fi], gauss.active[fi], T_eff, intr,
         sh_degree=cfg.sh_degree, near=cfg.near,
     )
-    packed = _pack(prep)
+    packed = _pack(prep)                                    # [S*Kf, F]
     tile = cfg.tile
     p = tile * tile
     px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
     py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
     pmat = _pixel_basis(px_local, py_local)
     W, H = intr.width, intr.height
-    vld = lists_sub.vld & prep.valid[lists_sub.idx]
+    vld = lists_sub.vld & prep.valid.reshape(s_tiles, kf)
 
     if cfg.backend == "pallas_lists":
         assert cfg.k_fine % 16 == 0
         from .pallas_lists import blend_lists_pallas
 
-        d = packed[lists_sub.idx]                           # [S, Kf, F]
+        d = packed.reshape(s_tiles, kf, _F)                 # [S, Kf, F]
         logo = jnp.where(vld, d[..., _LOGO], -1e30)
         d = jnp.concatenate(
             [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
@@ -619,10 +687,10 @@ def render_tiles(
         return outs[..., :3], outs[..., 3], outs[..., 4]
 
     bg0 = jnp.zeros((3,), jnp.float32)
+    d_all = packed.reshape(s_tiles, kf, _F)
 
     def blend_tile(args):
-        idx, vf, x0, y0 = args
-        d = packed[idx]
+        d, vf, x0, y0 = args
         px = x0 + px_local
         py = y0 + py_local
         pix_ok = (px <= W - 1) & (py <= H - 1)
@@ -630,8 +698,8 @@ def render_tiles(
         return color, depth, acc
 
     colors, depths, accs = jax.vmap(
-        lambda i, v, x, y: jax.checkpoint(blend_tile)((i, v, x, y))
-    )(lists_sub.idx, vld, tx0s, ty0s)
+        lambda d, v, x, y: jax.checkpoint(blend_tile)((d, v, x, y))
+    )(d_all, vld, tx0s, ty0s)
     return colors, depths, accs
 
 
@@ -682,20 +750,6 @@ def render_pose_jvp(
         bg = jnp.zeros((3,), jnp.float32)
     n = gauss.xyz.shape[0]
 
-    def pp(tau):
-        T_eff = se3.se3_exp(tau) @ T_cw
-        prep = preprocess(
-            gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit,
-            gauss.sh, gauss.active, T_eff, intr,
-            sh_degree=cfg.sh_degree, near=cfg.near,
-        )
-        return _pack(prep), prep.valid
-
-    (packed, valid), jvp_fn = jax.linearize(pp, jnp.zeros(6))
-    tans = jnp.stack(
-        [jvp_fn(jnp.eye(6)[k])[0] for k in range(6)], axis=0
-    )                                                   # [6, N, F]
-
     tile = cfg.tile
     p = tile * tile
     px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
@@ -708,23 +762,7 @@ def render_pose_jvp(
     n_my = -(-H // mpx)
     n_fine = n_mx * n_my * cfg.macro_tiles * cfg.macro_tiles
 
-    if tsel is not None:
-        idx_s = lists.idx[tsel]
-        vld_s = lists.vld[tsel]
-        txs, tys = tx0[tsel], ty0[tsel]
-    else:
-        idx_s, vld_s, txs, tys = lists.idx, lists.vld, tx0, ty0
-    vld = vld_s & valid[idx_s]
-    d = packed[idx_s]                                   # [S, Kf, F]
-    logo = jnp.where(vld, d[..., _LOGO], -1e30)
-    d = jnp.concatenate(
-        [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
-    )
-    d_tan = tans[:, idx_s].transpose(1, 0, 2, 3)        # [S, 6, Kf, F]
-
-    outs, touts = blend_lists_jvp8(
-        d, d_tan, txs, tys, pmat, tile, W, H, cfg.pallas_interpret
-    )                                                   # [S,P,8],[S,6,P,8]
+    outs, touts = render_pose_jvp_tiles(gauss, T_cw, intr, cfg, lists, tsel)
     if tsel is not None:
         outs = jnp.zeros((n_fine,) + outs.shape[1:]).at[tsel].set(outs)
         touts = jnp.zeros((n_fine,) + touts.shape[1:]).at[tsel].set(touts)

@@ -205,30 +205,31 @@ def _fo_loss_tiles(gauss, T, p8, intr, cfg, tcfg: TrackConfig,
     return loss, l1
 
 
-def _so_fast_step(gauss, frame, T, ea, eb, sketch, intr, cfg, tcfg, lists,
-                  tsel=None, scale=1.0):
+def _so_fast_step(gauss, gt_t, mask_t, T, ea, eb, sketch, intr, cfg, tcfg,
+                  lists, tsel=None, scale=1.0):
     """(Sf, SJ, l1) via the fused forward-mode pallas kernel (monocular).
 
     Replaces jax.linearize + 8 re-linearized evaluations with ONE pass that
     renders the primal and all 6 pose tangents together
-    (render_pose_jvp); the exposure columns are chained analytically
+    (render_pose_jvp_tiles); the exposure columns are chained analytically
     (r = opa*M*((|ea|+eps)*img + eb - gt), so dr/dea = opa*M*img*sign(ea),
     dr/deb = opa*M — slam_utils.py:115-185 semantics).
 
-    With tsel (tile subsampling, TrackConfig.so_tile_frac) only the subset
-    tiles render — their opacity is zero elsewhere, which zeroes the
-    residual and every Jacobian column there — and Sf/SJ/l1 are scaled by
-    1/frac so they stay unbiased estimates of the full-image quantities
-    (keeps the LM lambda semantics and cross-phase best-loss comparisons)."""
-    from ..render.renderer import render_pose_jvp
+    Everything stays in TILE SPACE: gt_t/mask_t are the (subset) tiled
+    ground truth [S,P,3]/[S,P,1] and the sketch is drawn over the S*P subset
+    pixels — no full-image assembly, scatter-back, or m-sized gathers. With
+    tile subsampling (TrackConfig.so_tile_frac) the d/m_sub bucket scaling
+    equals the reference's d/m times the 1/frac unbiasing factor, so the LM
+    lambda semantics are unchanged; l1 is scaled by 1/frac for cross-phase
+    best-loss comparability."""
+    from ..render.renderer import render_pose_jvp_tiles
 
-    img, _, opa, img_t, _, opa_t = render_pose_jvp(
-        gauss, T, intr, cfg, lists, tsel=tsel
-    )
-    M = frame.mapping_mask
+    outs, touts = render_pose_jvp_tiles(gauss, T, intr, cfg, lists, tsel)
+    img = outs[..., :3]                                  # [S, P, 3] (bg=0)
+    opa = outs[..., 4:5]                                 # [S, P, 1]
     e = jnp.abs(ea) + losses.EXPOSURE_EPS
-    diff = (e * img + eb) - frame.gt_image
-    r = opa * M * diff
+    diff = (e * img + eb) - gt_t
+    r = opa * mask_t * diff
     l1 = jnp.sum(jnp.abs(r)) * scale
     if tcfg.use_huber:
         delta = tcfg.huber_delta
@@ -239,26 +240,34 @@ def _so_fast_step(gauss, frame, T, ea, eb, sketch, intr, cfg, tcfg, lists,
     else:
         hub = r
         slope = jnp.ones_like(r)
-    m = img.shape[1] * img.shape[2]
-    d_over_m = sketch.d / m * scale
-    Sf = apply_sketch((jnp.sum(hub, axis=0) * d_over_m).reshape(-1), sketch)
+    d_over_m = sketch.d / (sketch.d * sketch.chunk)      # = d / m_sub
+    Sf = apply_sketch((jnp.sum(hub, axis=-1) * d_over_m).reshape(-1), sketch)
 
+    img_t = touts[..., :3]                               # [S, 6, P, 3]
+    opa_t = touts[..., 4:5]                              # [S, 6, P, 1]
     cols = [
-        M * (opa_t[k] * diff + opa * e * img_t[k]) for k in range(6)
+        mask_t * (_ax6(opa_t, k) * diff + opa * e * _ax6(img_t, k))
+        for k in range(6)
     ] + [
-        opa * M * img * jnp.sign(ea),
-        jnp.broadcast_to(opa * M, r.shape),
+        opa * mask_t * img * jnp.sign(ea),
+        jnp.broadcast_to(opa * mask_t, r.shape),
     ]
     SJ = jnp.stack(
         [
             apply_sketch(
-                (jnp.sum(slope * r_t, axis=0) * d_over_m).reshape(-1), sketch
+                (jnp.sum(slope * r_t, axis=-1) * d_over_m).reshape(-1),
+                sketch,
             )
             for r_t in cols
         ],
         axis=1,
     )
     return Sf, SJ, l1
+
+
+def _ax6(x, k):
+    """x[:, k] for the tangent axis of [S, 6, P, C]."""
+    return x[:, k]
 
 
 @functools.partial(jax.jit, static_argnames=("intr", "cfg", "tcfg"))
@@ -386,18 +395,32 @@ def track_frame(
             and use_lists
         )
         so_tsel, so_scale = None, 1.0
-        if fast_so and tcfg.so_tile_frac < 1.0:
-            from ..render.renderer import _tile_origins
+        if fast_so:
+            from ..render.renderer import _tile_origins, tile_images
 
             n_fine_so = _tile_origins(intr, cfg_track)[0].shape[0]
-            n_sub_so = max(8, int(n_fine_so * tcfg.so_tile_frac) // 8 * 8)
-            kso = jax.random.fold_in(key, 1)
-            so_tsel = jax.random.permutation(kso, n_fine_so)[:n_sub_so]
-            so_scale = n_fine_so / n_sub_so
+            if tcfg.so_tile_frac < 1.0:
+                n_sub_so = max(8, int(n_fine_so * tcfg.so_tile_frac) // 8 * 8)
+                kso = jax.random.fold_in(key, 1)
+                so_tsel = jax.random.permutation(kso, n_fine_so)[:n_sub_so]
+                so_scale = n_fine_so / n_sub_so
+            else:
+                n_sub_so = n_fine_so
+            # tile-space ground truth for the subset; the sketch is drawn
+            # over the subset's pixels (see _so_fast_step)
+            gt_t_so = tile_images(frame.gt_image, intr, cfg_track)
+            mask_t_so = tile_images(frame.mapping_mask, intr, cfg_track)
+            if so_tsel is not None:
+                gt_t_so = gt_t_so[so_tsel]
+                mask_t_so = mask_t_so[so_tsel]
+            p_pix = cfg_track.tile * cfg_track.tile
+            m_sketch = n_sub_so * p_pix
+        else:
+            m_sketch = m_pix
 
         def so_body(s: TrackState):
             key, k1 = jax.random.split(s.key)
-            sketch = make_sketch(k1, m_pix, tcfg.stack_dim, tcfg.sketch_dim)
+            sketch = make_sketch(k1, m_sketch, tcfg.stack_dim, tcfg.sketch_dim)
 
             if use_lists and tcfg.rebin_so_every:
                 # per-iteration rebinning (margin-free, exact at the current
@@ -410,8 +433,8 @@ def track_frame(
 
             if fast_so:
                 Sf, SJ, l1 = _so_fast_step(
-                    gauss, frame, s.T, s.ea, s.eb, sketch, intr, cfg_track,
-                    tcfg, lists_it, tsel=so_tsel, scale=so_scale,
+                    gauss, gt_t_so, mask_t_so, s.T, s.ea, s.eb, sketch, intr,
+                    cfg_track, tcfg, lists_it, tsel=so_tsel, scale=so_scale,
                 )
             else:
                 p = p0(s.ea, s.eb)

@@ -128,16 +128,15 @@ def test_jvp8_parity():
 
 
 def test_so_fast_step_matches_linearize():
-    """The fused forward-mode (Sf, SJ) matches jax.linearize of the XLA
-    path's bucketed residual."""
+    """The fused forward-mode (Sf, SJ) matches jax.linearize of the same
+    tile-space bucketed residual computed through the XLA blend path."""
     from monogs_tpu.data import SyntheticDataset
-    from monogs_tpu.ops.sketch import make_sketch
+    from monogs_tpu.ops.sketch import apply_sketch, make_sketch
     from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import _tile_origins, render_tiles, tile_images
     from monogs_tpu.slam.frame import make_frame_data
-    from monogs_tpu.slam.tracking import (
-        TrackConfig, _sketched_Sf, _so_fast_step,
-    )
-    from monogs_tpu.ops import se3
+    from monogs_tpu.slam.tracking import TrackConfig, _so_fast_step
+    from monogs_tpu.ops import losses, se3
 
     intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
                       width=128, height=96)
@@ -151,22 +150,34 @@ def test_so_fast_step_matches_linearize():
     T = se3.se3_exp(0.004 * jax.random.normal(jax.random.PRNGKey(3), (6,))
                     ) @ T_gt
     tcfg = TrackConfig(monocular=True)
-    sketch = make_sketch(jax.random.PRNGKey(7), intr.width * intr.height,
-                         8, 32)
     lists = build_tile_lists(ds.scene, T, intr, cfg)
+    tx0, ty0 = _tile_origins(intr, cfg)
+    gt_t = tile_images(frame.gt_image, intr, cfg)
+    mask_t = tile_images(frame.mapping_mask, intr, cfg)
+    m_sub = gt_t.shape[0] * gt_t.shape[1]
+    sketch = make_sketch(jax.random.PRNGKey(7), m_sub, 8, 32)
     ea, eb = jnp.float32(1.05), jnp.float32(0.02)
 
+    def bucketed(p8):
+        col, dep, acc = render_tiles(ds.scene, T, intr, cfg, lists, tx0, ty0,
+                                     tau=p8[:6])
+        e = jnp.abs(p8[6]) + losses.EXPOSURE_EPS
+        r = acc[..., None] * mask_t * ((e * col + p8[7]) - gt_t)
+        l1 = jnp.sum(jnp.abs(r))
+        r = losses.huber_signed(r, tcfg.huber_delta)
+        d_over_m = sketch.d / m_sub
+        Sf = apply_sketch(
+            (jnp.sum(r, axis=-1) * d_over_m).reshape(-1), sketch
+        )
+        return Sf, l1
+
     p = jnp.concatenate([jnp.zeros(6), ea[None], eb[None]])
-    (Sf_ref, l1_ref), jvp = jax.linearize(
-        lambda q: _sketched_Sf(ds.scene, frame, T, q, sketch, intr, cfg,
-                               tcfg, lists),
-        p,
-    )
+    (Sf_ref, l1_ref), jvp = jax.linearize(bucketed, p)
     SJ_ref = jnp.stack([jvp(jnp.eye(8)[k])[0] for k in range(8)], axis=1)
 
     cfg_pl = cfg._replace(backend="pallas_lists", pallas_interpret=True)
-    Sf, SJ, l1 = _so_fast_step(ds.scene, frame, T, ea, eb, sketch, intr,
-                               cfg_pl, tcfg, lists)
+    Sf, SJ, l1 = _so_fast_step(ds.scene, gt_t, mask_t, T, ea, eb, sketch,
+                               intr, cfg_pl, tcfg, lists)
     np.testing.assert_allclose(l1, l1_ref, rtol=1e-4)
     np.testing.assert_allclose(Sf, Sf_ref, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(SJ, SJ_ref, rtol=2e-3, atol=2e-4)
