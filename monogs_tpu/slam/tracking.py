@@ -73,6 +73,12 @@ class TrackConfig(NamedTuple):
     bin_margin: float = 8.0
     rebin_before_so: bool = True
     rebin_so_every: int = 1   # >0: rebuild exact lists inside the so loop
+    # >0 (with rebin_so_every): only the first rebin_so_iters iterations
+    # rebin; the rest reuse lists refined once at the post-jump pose (the
+    # LM's big step happens in the first 1-3 iterations, after which the
+    # pose moves far less than a pixel per iteration). 0 = rebin every iter;
+    # measured 270 -> 248 ms/frame at equal pose error with 3.
+    rebin_so_iters: int = 3
     # First-order tile subsampling (the reference's
     # Training.RGN.first_order.num_pixels knob, slam_frontend.py:250-257,
     # re-expressed tile-wise so the blend stays dense): optimize the photo-
@@ -206,7 +212,7 @@ def _fo_loss_tiles(gauss, T, p8, intr, cfg, tcfg: TrackConfig,
 
 
 def _so_fast_step(gauss, gt_t, mask_t, T, ea, eb, sketch, intr, cfg, tcfg,
-                  lists, tsel=None, scale=1.0):
+                  lists_sub, txs, tys, scale=1.0):
     """(Sf, SJ, l1) via the fused forward-mode pallas kernel (monocular).
 
     Replaces jax.linearize + 8 re-linearized evaluations with ONE pass that
@@ -224,7 +230,8 @@ def _so_fast_step(gauss, gt_t, mask_t, T, ea, eb, sketch, intr, cfg, tcfg,
     best-loss comparability."""
     from ..render.renderer import render_pose_jvp_tiles
 
-    outs, touts = render_pose_jvp_tiles(gauss, T, intr, cfg, lists, tsel)
+    outs, touts = render_pose_jvp_tiles(gauss, T, intr, cfg, lists_sub,
+                                        txs, tys)
     img = outs[..., :3]                                  # [S, P, 3] (bg=0)
     opa = outs[..., 4:5]                                 # [S, P, 1]
     e = jnp.abs(ea) + losses.EXPOSURE_EPS
@@ -376,12 +383,14 @@ def track_frame(
             # adopt the first-order best before second order (:465-470)
             s = s._replace(T=s.best_T, ea=s.best_ea, eb=s.best_eb)
         m_pix = frame.gt_image.shape[1] * frame.gt_image.shape[2]
-        lists_so = (
-            build_tile_lists(
-                gauss, s.T, intr, cfg_track, margin=tcfg.bin_margin
+        so_aux = None
+        if use_lists and tcfg.rebin_before_so:
+            lists_so, so_aux = build_tile_lists(
+                gauss, s.T, intr, cfg_track, margin=tcfg.bin_margin,
+                with_aux=True,
             )
-            if (use_lists and tcfg.rebin_before_so) else lists_fo
-        )
+        else:
+            lists_so = lists_fo
 
         def so_cond(s: TrackState):
             return (s.i < tcfg.so_max_iter) & jnp.logical_not(s.converged)
@@ -396,16 +405,21 @@ def track_frame(
         )
         so_tsel, so_scale = None, 1.0
         if fast_so:
-            from ..render.renderer import _tile_origins, tile_images
+            from ..render.renderer import (
+                TileLists, _tile_origins, tile_images,
+            )
 
-            n_fine_so = _tile_origins(intr, cfg_track)[0].shape[0]
+            tx0f, ty0f = _tile_origins(intr, cfg_track)
+            n_fine_so = tx0f.shape[0]
             if tcfg.so_tile_frac < 1.0:
                 n_sub_so = max(8, int(n_fine_so * tcfg.so_tile_frac) // 8 * 8)
                 kso = jax.random.fold_in(key, 1)
                 so_tsel = jax.random.permutation(kso, n_fine_so)[:n_sub_so]
                 so_scale = n_fine_so / n_sub_so
+                so_txs, so_tys = tx0f[so_tsel], ty0f[so_tsel]
             else:
                 n_sub_so = n_fine_so
+                so_txs, so_tys = tx0f, ty0f
             # tile-space ground truth for the subset; the sketch is drawn
             # over the subset's pixels (see _so_fast_step)
             gt_t_so = tile_images(frame.gt_image, intr, cfg_track)
@@ -418,25 +432,53 @@ def track_frame(
         else:
             m_sketch = m_pix
 
-        def so_body(s: TrackState):
+        if fast_so:
+            from ..render.renderer import refine_fine_lists
+
+            tsel_it = (
+                so_tsel if so_tsel is not None
+                else jnp.arange(n_fine_so, dtype=jnp.int32)
+            )
+            can_refine = use_lists and tcfg.rebin_so_every and (
+                so_aux is not None
+            )
+
+            def refine_at(T):
+                # FINE-stage rebinning at the given pose against the
+                # phase-start margin macro lists: exact per-tile selection
+                # (removes the stale-lists bias the LM would otherwise
+                # converge to, 5.5 -> ~3.7 mm) while reusing the expensive
+                # macro sort
+                return refine_fine_lists(
+                    gauss, T, intr, cfg_track, so_aux, tsel_it
+                )
+
+            if so_tsel is not None:
+                lists_frozen0 = TileLists(idx=lists_so.idx[so_tsel],
+                                          vld=lists_so.vld[so_tsel])
+            else:
+                lists_frozen0 = lists_so
+
+        def make_so_body(lists_provider):
+            return lambda s: so_step(s, lists_provider)
+
+        def so_step(s: TrackState, lists_provider):
             key, k1 = jax.random.split(s.key)
             sketch = make_sketch(k1, m_sketch, tcfg.stack_dim, tcfg.sketch_dim)
 
-            if use_lists and tcfg.rebin_so_every:
-                # per-iteration rebinning (margin-free, exact at the current
-                # pose): binning costs ~10 ms vs the ~46 ms fused so step, and
-                # removes the stale-lists bias the LM would otherwise
-                # converge to (measured 5.5 -> ~4 mm at the bench config)
-                lists_it = build_tile_lists(gauss, s.T, intr, cfg_track)
-            else:
-                lists_it = lists_so
-
             if fast_so:
+                lists_it = lists_provider(s)
                 Sf, SJ, l1 = _so_fast_step(
                     gauss, gt_t_so, mask_t_so, s.T, s.ea, s.eb, sketch, intr,
-                    cfg_track, tcfg, lists_it, tsel=so_tsel, scale=so_scale,
+                    cfg_track, tcfg, lists_it, so_txs, so_tys,
+                    scale=so_scale,
                 )
             else:
+                del lists_provider
+                if use_lists and tcfg.rebin_so_every:
+                    lists_it = build_tile_lists(gauss, s.T, intr, cfg_track)
+                else:
+                    lists_it = lists_so
                 p = p0(s.ea, s.eb)
                 # one primal render yields both Sf and the raw L1 (for
                 # lambda adaptation + best cache)
@@ -475,7 +517,29 @@ def track_frame(
             )
 
         s = s._replace(i=jnp.int32(0), prev_l1=big, converged=jnp.asarray(False))
-        s = jax.lax.while_loop(so_cond, so_body, s)
+        if fast_so and can_refine and tcfg.rebin_so_iters > 0:
+            k_rebin = min(tcfg.rebin_so_iters, tcfg.so_max_iter)
+
+            def condA(s):
+                return (s.i < k_rebin) & jnp.logical_not(s.converged)
+
+            s = jax.lax.while_loop(
+                condA, make_so_body(lambda s: refine_at(s.T)), s
+            )
+            lists_fixed = refine_at(s.T)
+            s = jax.lax.while_loop(
+                so_cond, make_so_body(lambda _: lists_fixed), s
+            )
+        elif fast_so and can_refine:
+            s = jax.lax.while_loop(
+                so_cond, make_so_body(lambda s: refine_at(s.T)), s
+            )
+        elif fast_so:
+            s = jax.lax.while_loop(
+                so_cond, make_so_body(lambda _: lists_frozen0), s
+            )
+        else:
+            s = jax.lax.while_loop(so_cond, make_so_body(None), s)
     so_iters = s.i if tcfg.so_max_iter > 0 else jnp.int32(0)
 
     if tcfg.use_best_loss:

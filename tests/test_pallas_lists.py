@@ -177,7 +177,7 @@ def test_so_fast_step_matches_linearize():
 
     cfg_pl = cfg._replace(backend="pallas_lists", pallas_interpret=True)
     Sf, SJ, l1 = _so_fast_step(ds.scene, gt_t, mask_t, T, ea, eb, sketch,
-                               intr, cfg_pl, tcfg, lists)
+                               intr, cfg_pl, tcfg, lists, tx0, ty0)
     np.testing.assert_allclose(l1, l1_ref, rtol=1e-4)
     np.testing.assert_allclose(Sf, Sf_ref, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(SJ, SJ_ref, rtol=2e-3, atol=2e-4)
