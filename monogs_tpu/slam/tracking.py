@@ -211,9 +211,18 @@ def _fo_loss_tiles(gauss, T, p8, intr, cfg, tcfg: TrackConfig,
     return loss, l1
 
 
+def _huber_chain(r, delta):
+    """(hub, slope): signed sqrt-Huber value and its elementwise d/dr."""
+    ax = jnp.abs(r)
+    safe = jnp.sqrt(jnp.maximum(2.0 * delta * ax - delta * delta, 1e-20))
+    hub = jnp.where(ax < delta, r, jnp.sign(r) * safe)
+    slope = jnp.where(ax < delta, 1.0, delta / safe)
+    return hub, slope
+
+
 def _so_fast_step(gauss, gt_t, mask_t, T, ea, eb, sketch, intr, cfg, tcfg,
-                  lists_sub, txs, tys, scale=1.0):
-    """(Sf, SJ, l1) via the fused forward-mode pallas kernel (monocular).
+                  lists_sub, txs, tys, scale=1.0, gtd_t=None):
+    """(Sf, SJ, l1) via the fused forward-mode pallas kernel.
 
     Replaces jax.linearize + 8 re-linearized evaluations with ONE pass that
     renders the primal and all 6 pose tangents together
@@ -227,7 +236,15 @@ def _so_fast_step(gauss, gt_t, mask_t, T, ea, eb, sketch, intr, cfg, tcfg,
     tile subsampling (TrackConfig.so_tile_frac) the d/m_sub bucket scaling
     equals the reference's d/m times the 1/frac unbiasing factor, so the LM
     lambda semantics are unchanged; l1 is scaled by 1/frac for cross-phase
-    best-loss comparability."""
+    best-loss comparability.
+
+    RGB-D (gtd_t [S,P,1]): the bucketed residual mixes the channel-summed
+    Huber RGB rows with the masked Huber depth rows by tcfg.alpha —
+    _sketched_Sf semantics (the reference fork left the RGB-D per-pixel
+    path NotImplementedError, slam_utils.py:220); depth tangents come from
+    the same kernel pass (touts depth column), and the depth mask's
+    opacity gate is a constant w.r.t. the tangents, matching autodiff
+    through jnp.where."""
     from ..render.renderer import render_pose_jvp_tiles
 
     outs, touts = render_pose_jvp_tiles(gauss, T, intr, cfg, lists_sub,
@@ -239,16 +256,11 @@ def _so_fast_step(gauss, gt_t, mask_t, T, ea, eb, sketch, intr, cfg, tcfg,
     r = opa * mask_t * diff
     l1 = jnp.sum(jnp.abs(r)) * scale
     if tcfg.use_huber:
-        delta = tcfg.huber_delta
-        ax = jnp.abs(r)
-        safe = jnp.sqrt(jnp.maximum(2.0 * delta * ax - delta * delta, 1e-20))
-        hub = jnp.where(ax < delta, r, jnp.sign(r) * safe)
-        slope = jnp.where(ax < delta, 1.0, delta / safe)
+        hub, slope = _huber_chain(r, tcfg.huber_delta)
     else:
         hub = r
         slope = jnp.ones_like(r)
     d_over_m = sketch.d / (sketch.d * sketch.chunk)      # = d / m_sub
-    Sf = apply_sketch((jnp.sum(hub, axis=-1) * d_over_m).reshape(-1), sketch)
 
     img_t = touts[..., :3]                               # [S, 6, P, 3]
     opa_t = touts[..., 4:5]                              # [S, 6, P, 1]
@@ -259,14 +271,31 @@ def _so_fast_step(gauss, gt_t, mask_t, T, ea, eb, sketch, intr, cfg, tcfg,
         opa * mask_t * img * jnp.sign(ea),
         jnp.broadcast_to(opa * mask_t, r.shape),
     ]
+
+    r2 = jnp.sum(hub, axis=-1)                           # [S, P] channel sum
+    col_sums = [jnp.sum(slope * c, axis=-1) for c in cols]
+
+    if gtd_t is not None:
+        dep = outs[..., 3:4]                             # [S, P, 1]
+        dep_t = touts[..., 3:4]                          # [S, 6, P, 1]
+        depth_mask = (gtd_t > 0.01) & (opa > 0.95)
+        r_d = jnp.where(depth_mask, dep - gtd_t, 0.0)
+        if tcfg.use_huber:
+            hub_d, slope_d = _huber_chain(r_d, tcfg.huber_delta)
+        else:
+            hub_d, slope_d = r_d, jnp.ones_like(r_d)
+        a = tcfg.alpha
+        r2 = a * r2 + (1 - a) * hub_d[..., 0]
+        dmask_slope = jnp.where(depth_mask, slope_d, 0.0)
+        col_sums = [
+            a * cs + (1 - a) * (dmask_slope * _ax6(dep_t, k))[..., 0]
+            for k, cs in enumerate(col_sums[:6])
+        ] + [a * cs for cs in col_sums[6:]]              # depth: no exposure
+
+    Sf = apply_sketch((r2 * d_over_m).reshape(-1), sketch)
     SJ = jnp.stack(
-        [
-            apply_sketch(
-                (jnp.sum(slope * r_t, axis=-1) * d_over_m).reshape(-1),
-                sketch,
-            )
-            for r_t in cols
-        ],
+        [apply_sketch((cs * d_over_m).reshape(-1), sketch)
+         for cs in col_sums],
         axis=1,
     )
     return Sf, SJ, l1
@@ -396,11 +425,9 @@ def track_frame(
             return (s.i < tcfg.so_max_iter) & jnp.logical_not(s.converged)
 
         # fused forward-mode path: pallas JVP kernel shares one primal
-        # across all pose tangents (monocular only; RGB-D falls back to
-        # jax.linearize below)
+        # across all pose tangents (mono + RGB-D)
         fast_so = (
             cfg_track.backend == "pallas_lists"
-            and tcfg.monocular
             and use_lists
         )
         so_tsel, so_scale = None, 1.0
@@ -424,9 +451,15 @@ def track_frame(
             # over the subset's pixels (see _so_fast_step)
             gt_t_so = tile_images(frame.gt_image, intr, cfg_track)
             mask_t_so = tile_images(frame.mapping_mask, intr, cfg_track)
+            gtd_t_so = (
+                tile_images(frame.gt_depth, intr, cfg_track)
+                if not tcfg.monocular else None
+            )
             if so_tsel is not None:
                 gt_t_so = gt_t_so[so_tsel]
                 mask_t_so = mask_t_so[so_tsel]
+                if gtd_t_so is not None:
+                    gtd_t_so = gtd_t_so[so_tsel]
             p_pix = cfg_track.tile * cfg_track.tile
             m_sketch = n_sub_so * p_pix
         else:
@@ -471,7 +504,7 @@ def track_frame(
                 Sf, SJ, l1 = _so_fast_step(
                     gauss, gt_t_so, mask_t_so, s.T, s.ea, s.eb, sketch, intr,
                     cfg_track, tcfg, lists_it, so_txs, so_tys,
-                    scale=so_scale,
+                    scale=so_scale, gtd_t=gtd_t_so,
                 )
             else:
                 del lists_provider

@@ -303,3 +303,62 @@ def test_tracking_so_tile_subsample_converges():
     trans, _ = se3.pose_diff(res.T, T_gt)
     trans0, _ = se3.pose_diff(T0, T_gt)
     assert float(trans) < 0.3 * float(trans0), (float(trans), float(trans0))
+
+def test_so_fast_step_rgbd_matches_linearize():
+    """RGB-D fused (Sf, SJ) matches jax.linearize of the tile-space
+    alpha-mixed bucketed residual."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops.sketch import apply_sketch, make_sketch
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import _tile_origins, render_tiles, tile_images
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, _so_fast_step
+    from monogs_tpu.ops import losses, se3
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=256,
+                       with_n_touched=False)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=800, seed=0,
+                          sensor_type="depth", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, dep, T_gt = ds[0]
+    frame = make_frame_data(img, dep, 1.1, 0.01, "synthetic")
+    T = se3.se3_exp(0.004 * jax.random.normal(jax.random.PRNGKey(3), (6,))
+                    ) @ T_gt
+    tcfg = TrackConfig(monocular=False)
+    lists = build_tile_lists(ds.scene, T, intr, cfg)
+    tx0, ty0 = _tile_origins(intr, cfg)
+    gt_t = tile_images(frame.gt_image, intr, cfg)
+    mask_t = tile_images(frame.mapping_mask, intr, cfg)
+    gtd_t = tile_images(frame.gt_depth, intr, cfg)
+    m_sub = gt_t.shape[0] * gt_t.shape[1]
+    sketch = make_sketch(jax.random.PRNGKey(7), m_sub, 8, 32)
+    ea, eb = jnp.float32(1.05), jnp.float32(0.02)
+
+    def bucketed(p8):
+        col, depr, acc = render_tiles(ds.scene, T, intr, cfg, lists,
+                                      tx0, ty0, tau=p8[:6])
+        e = jnp.abs(p8[6]) + losses.EXPOSURE_EPS
+        r = acc[..., None] * mask_t * ((e * col + p8[7]) - gt_t)
+        l1 = jnp.sum(jnp.abs(r))
+        hub = losses.huber_signed(r, tcfg.huber_delta)
+        dm = (gtd_t > 0.01) & (acc[..., None] > 0.95)
+        r_d = jnp.where(dm, depr[..., None] - gtd_t, 0.0)
+        hub_d = losses.huber_signed(r_d, tcfg.huber_delta)
+        r2 = (tcfg.alpha * jnp.sum(hub, axis=-1)
+              + (1 - tcfg.alpha) * hub_d[..., 0])
+        Sf = apply_sketch((r2 * sketch.d / m_sub).reshape(-1), sketch)
+        return Sf, l1
+
+    p = jnp.concatenate([jnp.zeros(6), ea[None], eb[None]])
+    (Sf_ref, l1_ref), jvp = jax.linearize(bucketed, p)
+    SJ_ref = jnp.stack([jvp(jnp.eye(8)[k])[0] for k in range(8)], axis=1)
+
+    cfg_pl = cfg._replace(backend="pallas_lists", pallas_interpret=True)
+    Sf, SJ, l1 = _so_fast_step(ds.scene, gt_t, mask_t, T, ea, eb, sketch,
+                               intr, cfg_pl, tcfg, lists, tx0, ty0,
+                               gtd_t=gtd_t)
+    np.testing.assert_allclose(l1, l1_ref, rtol=1e-4)
+    np.testing.assert_allclose(Sf, Sf_ref, rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(SJ, SJ_ref, rtol=2e-3, atol=2e-4)
