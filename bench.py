@@ -119,14 +119,19 @@ def main():
         file=sys.stderr, flush=True,
     )
 
-    # secondary: mapping throughput (window BA iterations/second), reported
-    # on stderr — the headline JSON line below stays the tracking number
+    # secondary metrics on stderr — the headline JSON line below stays the
+    # monocular tracking number
     try:
         map_ips = bench_mapping(scene, frames, poses, intr, cfg)
         print(f"[bench] mapping: {map_ips:.2f} BA iters/s "
               f"(window of 8 views + 2 random)", file=sys.stderr, flush=True)
     except Exception as e:  # keep the headline metric robust
         print(f"[bench] mapping bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+    try:
+        bench_rgbd_tracking(scene, intr, cfg, tcfg)
+    except Exception as e:
+        print(f"[bench] rgbd bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
 
     print(json.dumps({
@@ -135,6 +140,47 @@ def main():
         "unit": "fps",
         "vs_baseline": round(fps / 10.0, 3),
     }), flush=True)
+
+
+def bench_rgbd_tracking(scene, intr, cfg, tcfg_mono, n_frames=8):
+    """Secondary: RGB-D tracking fps (alpha-mixed photometric+depth
+    residual, same fused fast path)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from monogs_tpu.data.synthetic import orbit_pose
+    from monogs_tpu.ops import se3
+    from monogs_tpu.render import render
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import track_frame
+
+    rj = jax.jit(
+        lambda T: render(scene, T, intr, cfg._replace(with_n_touched=False))
+    )
+    datas, poses = [], []
+    for i in range(n_frames + 1):
+        T = orbit_pose(i / 400.0, trans_amp=0.8, rot_amp=0.15)
+        out = rj(T)
+        datas.append(make_frame_data(
+            jnp.clip(out.image, 0.0, 1.0), out.depth[0], 1.1, 0.01, "tum"
+        ))
+        poses.append(T)
+    tcfg = tcfg_mono._replace(monocular=False)
+    errs, ts = [], []
+    for i in range(n_frames):
+        t0 = time.time()
+        res = track_frame(
+            scene, datas[i + 1], poses[i], jnp.float32(1.0), jnp.float32(0.0),
+            jax.random.PRNGKey(i), intr, cfg, tcfg,
+        )
+        jax.block_until_ready(res.T)
+        ts.append(time.time() - t0)
+        errs.append(float(se3.pose_diff(res.T, poses[i + 1])[0]) * 1000)
+    ms = float(np.median(ts[1:])) * 1000
+    print(f"[bench] rgbd tracking: {1000.0/ms:.2f} fps ({ms:.1f} ms/frame), "
+          f"pose error mean {np.mean(errs):.2f} mm",
+          file=sys.stderr, flush=True)
 
 
 def bench_mapping(scene, frames, poses, intr, cfg, n_iters=30):
