@@ -413,29 +413,64 @@ def color_refinement_iters(
     """Photometric-only refinement (slam_backend.py:335-368): per iteration
     pick one random staged keyframe, loss = (1-λ)L1 + λ(1-SSIM) against the
     raw gt (no exposure, no masks), Adam on map params with the xyz schedule
-    driven by the local refinement iteration."""
+    driven by the local refinement iteration.
+
+    Uses the same frozen per-view tile lists as map_iters (margin +
+    strict-priority), rebuilt for all staged views every rebin_every
+    iterations — at 26000 iterations the per-call binning would otherwise
+    dominate the refinement wall-clock."""
     from ..ops.image import ssim as ssim_fn
+    from ..render import build_tile_lists
+    from ..render.renderer import TileLists
 
     b = cams.T.shape[0]
     n_valid = jnp.maximum(jnp.sum(cams.valid.astype(jnp.int32)), 1)
     cfg_iter = cfg._replace(with_n_touched=False)
+    use_lists = mcfg.bin_margin > 0
+
+    def build_lists(mc):
+        gauss = _gauss_view(mc.params, mc.active)
+        return jax.lax.map(
+            lambda T: build_tile_lists(
+                gauss, T, intr, cfg_iter, margin=mcfg.bin_margin
+            ),
+            cams.T,
+        )
 
     def body(i, carry):
-        mc, key = carry
+        mc, key, l_idx, l_vld = carry
         key, k1 = jax.random.split(key)
         vi = jax.random.randint(k1, (), 0, n_valid)
         cam = jax.tree.map(lambda x: x[vi], cams)
 
+        if use_lists:
+            lists_new = jax.lax.cond(
+                (i % mcfg.rebin_every) == 0,
+                lambda: build_lists(mc),
+                lambda: TileLists(idx=l_idx, vld=l_vld),
+            )
+            l_idx, l_vld = lists_new.idx, lists_new.vld
+            lists_v = TileLists(idx=l_idx[vi], vld=l_vld[vi])
+        else:
+            lists_v = None
+
         def loss_fn(params):
             gauss = _gauss_view(params, mc.active)
-            out = render(gauss, cam.T, intr, cfg_iter)
+            out = render(gauss, cam.T, intr, cfg_iter, lists=lists_v)
             l1 = jnp.mean(jnp.abs(out.image - cam.gt_image))
             s = ssim_fn(out.image, cam.gt_image)
             return (1.0 - mcfg.lambda_dssim) * l1 + mcfg.lambda_dssim * (1.0 - s)
 
         g = jax.grad(loss_fn)(mc.params)
         mc = gm.adam_step(mc, g, hyper, step=i + 1)
-        return mc, key
+        return mc, key, l_idx, l_vld
 
-    m, _ = jax.lax.fori_loop(0, n_iters, body, (m, key))
+    if use_lists:
+        lists0 = build_lists(m)
+    else:
+        z = jnp.zeros((b, 1, 1))
+        lists0 = TileLists(idx=z.astype(jnp.int32), vld=z.astype(bool))
+    m, _, _, _ = jax.lax.fori_loop(
+        0, n_iters, body, (m, key, lists0.idx, lists0.vld)
+    )
     return m
