@@ -249,6 +249,49 @@ def _fwd_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, outs_ref, *,
     outs_ref[:] = _outs_from(f["w"], f["feats"], bt)
 
 
+def _fwd_counts_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, outs_ref,
+                       cnt_ref, *, width: int, height: int, bt: int):
+    g = pl.program_id(0)
+    x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
+    y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
+    f = _batch_forward(dat_ref[:], x0, y0, pmat_ref[:], width, height)
+    outs_ref[:] = _outs_from(f["w"], f["feats"], bt)
+    # contributing-pixel count per row (the CUDA kernel's n_touched);
+    # exact in f32 (sums of <= P ones)
+    cnt_ref[:] = jnp.sum(f["contrib"].astype(jnp.float32), axis=2)
+
+
+def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
+                              height: int, interpret: bool):
+    """blend_lists_pallas + per-row contributing-pixel counts [Tf, Kf]
+    (n_touched support for the fast path). NOT differentiable — used by the
+    final tracking render and visibility passes, which are never
+    differentiated."""
+    n_tiles, kf, _ = d.shape
+    p = pmat.shape[1]
+    bt = _pick_bt(n_tiles)
+    return pl.pallas_call(
+        functools.partial(_fwd_counts_kernel, width=width, height=height,
+                          bt=bt),
+        grid=(n_tiles // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
+            pl.BlockSpec((6, p), lambda g: (0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, p, 8), lambda g: (g, 0, 0)),
+            pl.BlockSpec((bt, kf), lambda g: (g, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, kf), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tx0, ty0, d, pmat)
+
+
 def _bwd_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, gout_ref, dd_ref, *,
                 width: int, height: int, bt: int):
     g = pl.program_id(0)

@@ -238,6 +238,9 @@ class _BinAux(NamedTuple):
     vld_m: jax.Array
     x0m: jax.Array      # [Tm] macro origins (pixels)
     y0m: jax.Array
+    # splats whose strict macro span overflowed span_cap after the k_big
+    # sidecar filled (coverage possibly lost; see tiling.macro_instance_bin)
+    n_overflow: jax.Array
 
 
 def _make_lists(u, v, rad, valid, z, intr: Intrinsics, cfg: RenderConfig,
@@ -274,7 +277,7 @@ def _make_lists(u, v, rad, valid, z, intr: Intrinsics, cfg: RenderConfig,
     my = jnp.arange(n_macro, dtype=jnp.int32) // n_mx
     x0m = (mx * mpx).astype(jnp.float32)
     y0m = (my * mpx).astype(jnp.float32)
-    sel_m, vld_m = macro_instance_bin(
+    sel_m, vld_m, n_overflow = macro_instance_bin(
         u_s, v_s, rad_s, valid_s, n_mx, n_my, mpx,
         cfg.k_macro, cfg.span_cap, cfg.k_big,
         radius_strict=rad_strict if margin else None,
@@ -343,7 +346,7 @@ def _make_lists(u, v, rad, valid, z, intr: Intrinsics, cfg: RenderConfig,
     idx = jnp.where(vld_f, order[jnp.where(vld_f, rank_g, 0)], 0)
     lists = TileLists(idx=idx, vld=vld_f)
     return lists, _BinAux(order=order, sel_m=sel_m, vld_m=vld_m,
-                          x0m=x0m, y0m=y0m)
+                          x0m=x0m, y0m=y0m, n_overflow=n_overflow)
 
 
 def _tile_origins(intr: Intrinsics, cfg: RenderConfig):
@@ -572,20 +575,32 @@ def render(
     # stale) lists still carry them
     vld_f = lists.vld & prep.valid[lists.idx]
 
-    if cfg.backend == "pallas_lists" and not cfg.with_n_touched:
+    if cfg.backend == "pallas_lists":
         # fused per-list Pallas blend (pallas_lists.py): one VMEM-resident
-        # kernel instead of HBM-materialized [Tf, Kf, P] intermediates
+        # kernel instead of HBM-materialized [Tf, Kf, P] intermediates.
+        # with_n_touched uses the counts variant (non-differentiable — its
+        # consumers, visibility and keyframing, never take gradients).
         assert cfg.k_fine % 16 == 0, "pallas_lists needs k_fine % 16 == 0"
-        from .pallas_lists import blend_lists_pallas
+        from .pallas_lists import blend_lists_pallas, blend_lists_pallas_counts
 
         d = packed[lists.idx]                               # [Tf, Kf, F]
         logo = jnp.where(vld_f, d[..., _LOGO], -1e30)
         d = jnp.concatenate(
             [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
         )
-        outs = blend_lists_pallas(
-            d, tx0, ty0, pmat, tile, W, H, cfg.pallas_interpret
-        )                                                   # [Tf, P, 8]
+        if cfg.with_n_touched:
+            outs, cnts = blend_lists_pallas_counts(
+                d, tx0, ty0, pmat, tile, W, H, cfg.pallas_interpret
+            )
+            orig = jnp.where(vld_f, lists.idx, n)
+            n_touched_l = jnp.zeros((n + 1,), jnp.int32).at[
+                orig.reshape(-1)
+            ].add(cnts.astype(jnp.int32).reshape(-1))[:n]
+        else:
+            outs = blend_lists_pallas(
+                d, tx0, ty0, pmat, tile, W, H, cfg.pallas_interpret
+            )                                               # [Tf, P, 8]
+            n_touched_l = jnp.zeros((n,), jnp.int32)
         accs = outs[..., 4]
         colors = outs[..., :3] + (1.0 - accs)[..., None] * bg[None, None, :]
         depths = outs[..., 3]
@@ -603,7 +618,7 @@ def render(
             opacity=assemble_l(accs.reshape(n_fine, p)[..., None], 1)
             .transpose(2, 0, 1),
             radii=prep.radius,
-            n_touched=jnp.zeros((n,), jnp.int32),
+            n_touched=n_touched_l,
         )
 
     def blend_tile(args):
@@ -654,6 +669,91 @@ def render(
         radii=prep.radius,
         n_touched=n_touched,
     )
+
+
+def render_batch(
+    gauss: GaussianArrays,
+    Ts,                      # [B, 4, 4]
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    lists_b: TileLists,      # idx/vld [B, Tf, Kf] frozen per-view lists
+    taus=None,               # [B, 6] pose tangents (or None)
+    means2d_offsets=None,    # [B, N, 2] densify-stat hooks (or None)
+    bg=None,
+):
+    """Batched multi-view render over frozen per-view lists — the mapping
+    fast path. Instead of lax.map-ing B sequential single-view renders
+    (B kernel launches whose grids underfill the chip), the per-view tile
+    lists are stacked into ONE [B*Tf]-tile blend kernel invocation;
+    preprocess is vmapped over views. Differentiable in gauss, taus,
+    means2d_offsets. Returns (image [B,3,H,W], depth [B,1,H,W],
+    opacity [B,1,H,W], radii [B,N]).
+
+    Requires cfg.backend == "pallas_lists" (callers fall back to per-view
+    render() otherwise). Reference semantics: BackEnd.map's per-view render
+    loop, /root/reference/utils/slam_backend.py:203-244.
+    """
+    assert cfg.k_fine % 16 == 0
+    from .pallas_lists import blend_lists_pallas
+
+    b = Ts.shape[0]
+    n = gauss.xyz.shape[0]
+    if bg is None:
+        bg = jnp.zeros((3,), jnp.float32)
+    if taus is None:
+        taus = jnp.zeros((b, 6))
+    if means2d_offsets is None:
+        means2d_offsets = jnp.zeros((b, n, 2))
+
+    def pp(T, tau, off):
+        T_eff = se3.se3_exp(tau) @ T
+        prep = preprocess(
+            gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit,
+            gauss.sh, gauss.active, T_eff, intr, sh_degree=cfg.sh_degree,
+            near=cfg.near, means2d_offset=off,
+        )
+        return _pack(prep), prep.valid, prep.radius
+
+    packed_b, valid_b, radii_b = jax.vmap(pp)(Ts, taus, means2d_offsets)
+
+    tile = cfg.tile
+    p = tile * tile
+    W, H = intr.width, intr.height
+    mpx = cfg.macro_px
+    n_mx = -(-W // mpx)
+    n_my = -(-H // mpx)
+    n_fine = n_mx * n_my * cfg.macro_tiles * cfg.macro_tiles
+    px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
+    py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px_local, py_local)
+    tx0, ty0 = _tile_origins(intr, cfg)
+
+    vld_f = lists_b.vld & jax.vmap(lambda v, i: v[i])(valid_b, lists_b.idx)
+    d = jax.vmap(lambda pk, i: pk[i])(packed_b, lists_b.idx)  # [B,Tf,Kf,F]
+    logo = jnp.where(vld_f, d[..., _LOGO], -1e30)
+    d = jnp.concatenate(
+        [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
+    )
+    outs = blend_lists_pallas(
+        d.reshape(b * n_fine, cfg.k_fine, _F),
+        jnp.tile(tx0, (b,)), jnp.tile(ty0, (b,)), pmat,
+        tile, W, H, cfg.pallas_interpret,
+    ).reshape(b, n_fine, p, 8)
+
+    accs = outs[..., 4]
+    colors = outs[..., :3] + (1.0 - accs)[..., None] * bg[None, None, None, :]
+    depths = outs[..., 3]
+
+    def assemble(x, c):
+        x = x.reshape(n_my, n_mx, cfg.macro_tiles, cfg.macro_tiles,
+                      tile, tile, c)
+        x = x.transpose(0, 2, 4, 1, 3, 5, 6)
+        return x.reshape(n_my * mpx, n_mx * mpx, c)[:H, :W].transpose(2, 0, 1)
+
+    image = jax.vmap(lambda x: assemble(x, 3))(colors)
+    depth = jax.vmap(lambda x: assemble(x[..., None], 1))(depths)
+    opacity = jax.vmap(lambda x: assemble(x[..., None], 1))(accs)
+    return image, depth, opacity, radii_b
 
 
 def render_pose_jvp_tiles(

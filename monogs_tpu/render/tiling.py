@@ -19,8 +19,9 @@ Two strategies, both gather-only in the differentiable path:
    `k_big` of them are tested against every macro with the plain overlap mask
    and merged into the per-macro lists by depth rank, so results remain
    bit-identical to the mask-based binning whenever the sidecar capacity
-   suffices (overflow beyond k_big falls back to truncated enumeration of the
-   first span_cap macros).
+   suffices (overflow beyond k_big enumerates the splat's STRICT span rect,
+   so only margin coverage is lost; a returned n_overflow counter reports
+   splats whose strict span itself exceeds span_cap).
 
 If more than `capacity` Gaussians land in a tile, the farthest ones are
 dropped — they are the most-occluded and contribute (near-)zero weight after
@@ -74,6 +75,12 @@ def grid_span(u, v, radius, n_x, n_y, cell):
     Matches `tile_overlap_mask` exactly: cell c (pixels [c*cell, c*cell +
     cell-1]) overlaps iff u + r >= c*cell and u - r <= c*cell + cell - 1.
     Returns (cx0, cy0, w, h) as int32 arrays.
+
+    PRECONDITION: the box must overlap the grid ([u-r, u+r] intersects
+    [0, n_x*cell) and likewise in y). The clip always yields w, h >= 1, so
+    an entirely off-grid box would silently claim one edge cell;
+    `macro_instance_bin` masks such splats defensively, and `preprocess`'s
+    on_screen cull guarantees the precondition for every valid splat.
     """
     cellf = float(cell)
     cx0 = jnp.clip(jnp.ceil((u - radius - (cellf - 1.0)) / cellf), 0, n_x - 1)
@@ -96,7 +103,11 @@ def macro_instance_bin(
 
     u, v, radius, valid: [N] per-Gaussian screen geometry in DEPTH-SORTED
     order (row index == depth rank). Returns (sel [n_macro, k_macro] int32
-    rank indices, depth-ascending; vld [n_macro, k_macro] bool).
+    rank indices, depth-ascending; vld [n_macro, k_macro] bool;
+    n_overflow int32 — the number of splats whose STRICT macro span exceeds
+    span_cap after the k_big exact sidecar filled, i.e. splats that may be
+    missing from some macro cells they truly cover. 0 means the binning is
+    exact up to the k_macro capacity truncation).
 
     With `radius_strict` (the un-inflated 3-sigma radius when `radius` is
     margin-inflated for frozen-list reuse), capacity is awarded
@@ -119,6 +130,16 @@ def macro_instance_bin(
     sentinel = jnp.int32(jnp.iinfo(jnp.int32).max)
     rank = jax.lax.broadcasted_iota(jnp.int32, (n, 1), 0)
 
+    # defensive: a splat whose (possibly margin-inflated) box misses the
+    # grid entirely must not claim edge cells (see grid_span precondition)
+    gw = n_mx * cell - 1
+    gh = n_my * cell - 1
+    valid = (
+        valid
+        & (u + radius >= 0) & (u - radius <= gw)
+        & (v + radius >= 0) & (v - radius <= gh)
+    )
+
     mx0, my0, w, h = grid_span(u, v, radius, n_mx, n_my, cell)
     span = w * h
     sx0, sy0, sw, sh = grid_span(u, v, radius_strict, n_mx, n_my, cell)
@@ -126,26 +147,36 @@ def macro_instance_bin(
     if k_big > 0:
         big = valid & (span > span_cap)
         # first k_big big splats (by depth rank) go to the exact sidecar;
-        # overflow past k_big falls back to truncated enumeration below
+        # overflow past k_big falls back to strict-rect enumeration below
         big_pos = jnp.cumsum(big.astype(jnp.int32)) - 1
         in_sidecar = big & (big_pos < k_big)
     else:
         in_sidecar = jnp.zeros_like(valid)
     norm = valid & jnp.logical_not(in_sidecar)
 
-    # instance enumeration: c-th cell of the row-major (inflated) span rect;
-    # the margin bit demotes cells outside the strict span rect
+    # instance enumeration: c-th cell of the row-major span rect; the margin
+    # bit demotes cells outside the strict span rect. Splats whose inflated
+    # span exceeds span_cap (and missed the sidecar) enumerate their STRICT
+    # rect instead — they lose only margin coverage unless even the strict
+    # span overflows, which n_overflow counts.
+    overflow = norm & (span > span_cap)
+    ew = jnp.where(overflow, sw, w)
+    ex0 = jnp.where(overflow, sx0, mx0)
+    ey0 = jnp.where(overflow, sy0, my0)
+    espan = jnp.where(overflow, sw * sh, span)
+    n_overflow = jnp.sum(norm & (sw * sh > span_cap)).astype(jnp.int32)
+
     c = jax.lax.broadcasted_iota(jnp.int32, (1, span_cap), 1)
-    dy = c // w[:, None]
-    dx = c - dy * w[:, None]
-    cx = mx0[:, None] + dx
-    cy = my0[:, None] + dy
+    dy = c // ew[:, None]
+    dx = c - dy * ew[:, None]
+    cx = ex0[:, None] + dx
+    cy = ey0[:, None] + dy
     m_id = cy * n_mx + cx
     strict = (
         (cx >= sx0[:, None]) & (cx < (sx0 + sw)[:, None])
         & (cy >= sy0[:, None]) & (cy < (sy0 + sh)[:, None])
     )
-    ok = norm[:, None] & (c < jnp.minimum(span, span_cap)[:, None])
+    ok = norm[:, None] & (c < jnp.minimum(espan, span_cap)[:, None])
     keys = jnp.where(
         ok, m_id * r2 + jnp.where(strict, 0, r_pow2) + rank, sentinel
     )
@@ -192,7 +223,7 @@ def macro_instance_bin(
         vld = allk < r2
         enc = allk
 
-    return jnp.where(vld, enc & (r_pow2 - 1), 0), vld
+    return jnp.where(vld, enc & (r_pow2 - 1), 0), vld, n_overflow
 
 
 def tile_overlap_mask(mean2d, radius, valid, x0, y0, x1, y1):

@@ -40,6 +40,22 @@ def render_config_from_config(config, intr: Intrinsics) -> RenderConfig:
     tr = config["Training"]
     rc = config.get("Renderer", {})
     sh_degree = 3 if tr.get("spherical_harmonics", False) else 0
+    backend = rc.get("backend", "xla")
+    interpret = rc.get("pallas_interpret", False)
+    if backend.startswith("pallas") and not interpret:
+        # Pallas kernels lower through Mosaic, which needs real TPU
+        # hardware. On CPU (unit tests, dataset-free dry runs) fall back to
+        # the numerically-identical XLA blend unless the config explicitly
+        # asks for interpreter mode.
+        import jax
+
+        if jax.default_backend() == "cpu":
+            Log(
+                f"Renderer.backend={backend} needs a TPU; falling back to "
+                "the XLA blend on CPU (set Renderer.pallas_interpret for "
+                "interpreter mode)."
+            )
+            backend = "xla"
     return RenderConfig(
         tile=rc.get("tile", 16),
         macro_tiles=rc.get("macro_tiles", 8),
@@ -47,7 +63,8 @@ def render_config_from_config(config, intr: Intrinsics) -> RenderConfig:
         k_fine=rc.get("k_fine", 512),
         sh_degree=sh_degree,
         macro_chunk=rc.get("macro_chunk", 0),
-        backend=rc.get("backend", "xla"),
+        backend=backend,
+        pallas_interpret=interpret,
     )
 
 
@@ -77,9 +94,12 @@ def track_config_from_config(config) -> TrackConfig:
         so_converged=rgn["second_order"]["converged_threshold"],
         use_first_order_best=rgn["second_order"].get("use_first_order_best", True),
         use_best_loss=rgn.get("use_best_loss", True),
-        bin_margin=rgn.get("bin_margin", 8.0),
-        rebin_so_every=rgn.get("rebin_so_every", 1),
+        bin_margin=rgn.get("bin_margin", 0.0),
+        rebin_before_so=rgn.get("rebin_before_so", True),
+        rebin_so=bool(rgn.get("rebin_so", rgn.get("rebin_so_every", 1))),
+        rebin_so_iters=rgn.get("rebin_so_iters", 3),
         fo_tile_frac=rgn["first_order"].get("tile_frac", 1.0),
+        so_tile_frac=rgn["second_order"].get("tile_frac", 1.0),
     )
 
 

@@ -69,11 +69,14 @@ class TrackConfig(NamedTuple):
     use_best_loss: bool = True
     # Frozen-tile-list fast path: bin once per phase with a pixel margin and
     # reuse the lists for every iteration (binning sorts cost several ms in
-    # XLA; the camera moves only a few pixels within a frame). 0 disables.
-    bin_margin: float = 8.0
+    # XLA; the camera moves only a few pixels within a frame). 0 disables —
+    # the default, because frozen fo lists silently degrade if the pose moves
+    # more than ~margin pixels within the fo phase; configs whose motion
+    # regime fits (and the bench) opt in explicitly.
+    bin_margin: float = 0.0
     rebin_before_so: bool = True
-    rebin_so_every: int = 1   # >0: rebuild exact lists inside the so loop
-    # >0 (with rebin_so_every): only the first rebin_so_iters iterations
+    rebin_so: bool = True     # rebuild exact lists inside the so loop
+    # >0 (with rebin_so): only the first rebin_so_iters iterations
     # rebin; the rest reuse lists refined once at the post-jump pose (the
     # LM's big step happens in the first 1-3 iterations, after which the
     # pose moves far less than a pixel per iteration). 0 = rebin every iter;
@@ -107,6 +110,11 @@ class TrackState(NamedTuple):
     best_eb: jax.Array
     converged: jax.Array
     key: jax.Array
+    # per-iteration L1 history (phase-local; NaN beyond the iterations
+    # actually run) — feeds the wall-clock-vs-error analysis plots
+    # (processing/plot_wall_clock_time_vs_error.py; reference logs `losses`
+    # per frame, slam_frontend.py:882-898)
+    hist: jax.Array
 
 
 class TrackResult(NamedTuple):
@@ -121,6 +129,8 @@ class TrackResult(NamedTuple):
     last_l1: jax.Array
     fo_iters: jax.Array
     so_iters: jax.Array
+    fo_losses: jax.Array   # [fo_max_iter] per-iter L1 (NaN past fo_iters)
+    so_losses: jax.Array   # [so_max_iter] per-iter L1 (NaN past so_iters)
 
 
 def _residual(gauss, frame: FrameData, T, p8, intr, cfg, tcfg: TrackConfig,
@@ -393,6 +403,7 @@ def track_frame(
             adam_m=m, adam_v=v, adam_t=t,
             prev_l1=l1, best_l1=best_l1, best_T=best_T,
             best_ea=best_ea, best_eb=best_eb, converged=converged,
+            hist=s.hist.at[s.i].set(l1),
         )
 
     s = TrackState(
@@ -401,10 +412,12 @@ def track_frame(
         lam=jnp.float32(tcfg.initial_lambda), prev_l1=big,
         best_l1=big, best_T=T_init, best_ea=ea_init, best_eb=eb_init,
         converged=jnp.asarray(False), key=key,
+        hist=jnp.full((tcfg.fo_max_iter,), jnp.nan, jnp.float32),
     )
     if tcfg.fo_max_iter > 0:
         s = jax.lax.while_loop(fo_cond, fo_body, s)
     fo_iters = s.i
+    fo_losses = s.hist
 
     # ---------------- phase 2: sketched Gauss-Newton / LM ----------------
     if tcfg.so_max_iter > 0:
@@ -472,7 +485,7 @@ def track_frame(
                 so_tsel if so_tsel is not None
                 else jnp.arange(n_fine_so, dtype=jnp.int32)
             )
-            can_refine = use_lists and tcfg.rebin_so_every and (
+            can_refine = use_lists and tcfg.rebin_so and (
                 so_aux is not None
             )
 
@@ -508,7 +521,7 @@ def track_frame(
                 )
             else:
                 del lists_provider
-                if use_lists and tcfg.rebin_so_every:
+                if use_lists and tcfg.rebin_so:
                     lists_it = build_tile_lists(gauss, s.T, intr, cfg_track)
                 else:
                     lists_it = lists_so
@@ -547,9 +560,13 @@ def track_frame(
                 lam=lam, prev_l1=l1, best_l1=best_l1, best_T=best_T,
                 best_ea=best_ea, best_eb=best_eb, converged=converged,
                 key=key,
+                hist=s.hist.at[s.i].set(l1),
             )
 
-        s = s._replace(i=jnp.int32(0), prev_l1=big, converged=jnp.asarray(False))
+        s = s._replace(
+            i=jnp.int32(0), prev_l1=big, converged=jnp.asarray(False),
+            hist=jnp.full((tcfg.so_max_iter,), jnp.nan, jnp.float32),
+        )
         if fast_so and can_refine and tcfg.rebin_so_iters > 0:
             k_rebin = min(tcfg.rebin_so_iters, tcfg.so_max_iter)
 
@@ -574,6 +591,10 @@ def track_frame(
         else:
             s = jax.lax.while_loop(so_cond, make_so_body(None), s)
     so_iters = s.i if tcfg.so_max_iter > 0 else jnp.int32(0)
+    so_losses = (
+        s.hist if tcfg.so_max_iter > 0
+        else jnp.zeros((0,), jnp.float32)
+    )
 
     if tcfg.use_best_loss:
         T, ea, eb = s.best_T, s.best_ea, s.best_eb
@@ -591,4 +612,5 @@ def track_frame(
         image=out.image, depth=out.depth, opacity=out.opacity,
         n_touched=out.n_touched, median_depth=median_depth,
         last_l1=last_l1, fo_iters=fo_iters, so_iters=so_iters,
+        fo_losses=fo_losses, so_losses=so_losses,
     )

@@ -33,7 +33,8 @@ frame = make_frame_data(img, None, 1.1, 0.01, "tum")
 
 def run(fo, so, iters=5):
     tcfg = TrackConfig(monocular=True, fo_max_iter=fo, so_max_iter=so,
-                       stack_dim=16, sketch_dim=64,
+                       stack_dim=16, sketch_dim=64, bin_margin=8.0,
+                       fo_tile_frac=0.25, so_tile_frac=0.25,
                        fo_converged=0.0, so_converged=0.0)
     f = lambda: track_frame(scene, frame, T0, jnp.float32(1.0),
                             jnp.float32(0.0), jax.random.PRNGKey(0),

@@ -204,7 +204,7 @@ def test_tracking_fast_path_converges():
                      ) @ T_gt
     tcfg = TrackConfig(monocular=True, fo_max_iter=30, so_max_iter=8,
                        lr_trans=0.002, lr_rot=0.006,
-                       stack_dim=8, sketch_dim=64)
+                       stack_dim=8, sketch_dim=64, bin_margin=8.0)
     res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
                       jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
                       tcfg)
@@ -267,7 +267,8 @@ def test_tracking_fo_tile_subsample_converges():
     T0 = se3.se3_exp(0.006 * jax.random.normal(jax.random.PRNGKey(1), (6,))
                      ) @ T_gt
     tcfg = TrackConfig(monocular=True, fo_max_iter=40, so_max_iter=0,
-                       lr_trans=0.002, lr_rot=0.006, fo_tile_frac=0.5)
+                       lr_trans=0.002, lr_rot=0.006, bin_margin=8.0,
+                       fo_tile_frac=0.5)
     res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
                       jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
                       tcfg)
@@ -295,7 +296,7 @@ def test_tracking_so_tile_subsample_converges():
     T0 = se3.se3_exp(0.006 * jax.random.normal(jax.random.PRNGKey(2), (6,))
                      ) @ T_gt
     tcfg = TrackConfig(monocular=True, fo_max_iter=20, so_max_iter=8,
-                       lr_trans=0.002, lr_rot=0.006,
+                       lr_trans=0.002, lr_rot=0.006, bin_margin=8.0,
                        stack_dim=8, sketch_dim=64, so_tile_frac=0.5)
     res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
                       jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
@@ -362,3 +363,18 @@ def test_so_fast_step_rgbd_matches_linearize():
     np.testing.assert_allclose(l1, l1_ref, rtol=1e-4)
     np.testing.assert_allclose(Sf, Sf_ref, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(SJ, SJ_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_n_touched_parity():
+    """pallas_lists with_n_touched (counts kernel) matches the XLA path and
+    the golden model exactly."""
+    from monogs_tpu.render import render_golden
+
+    gauss = make_scene(96, seed=11)
+    T = jnp.eye(4)
+    a = render(gauss, T, INTR, XLA._replace(with_n_touched=True))
+    b = render(gauss, T, INTR, PAL._replace(with_n_touched=True))
+    g = render_golden(gauss, T, INTR)
+    np.testing.assert_array_equal(np.asarray(b.n_touched), np.asarray(a.n_touched))
+    np.testing.assert_array_equal(np.asarray(b.n_touched), np.asarray(g.n_touched))
+    np.testing.assert_allclose(b.image, a.image, atol=2e-5)

@@ -184,3 +184,68 @@ def test_sh_degree3_view_dependence_and_golden_match():
 
     g = jax.grad(loss)(gauss.sh)
     assert float(jnp.abs(g[:, 1:, :]).max()) > 0
+
+
+def test_big_splat_sidecar_overflow_keeps_strict_coverage():
+    """More oversized splats than the k_big exact sidecar can hold: the
+    overflow splats must still cover their STRICT span rect (the truncated
+    fallback loses only margin coverage), so a margin-built render at the
+    build pose matches the exact margin=0 render bit-for-bit (ADVICE r1:
+    tiling.macro_instance_bin overflow path)."""
+    n_big = 12
+    key = jax.random.PRNGKey(7)
+    # big splats: large scale at moderate depth -> radius spans many macro
+    # cells; plus a backdrop of small ones
+    small = make_scene(48, seed=1)
+    xyz = jnp.concatenate(
+        [0.3 * jax.random.normal(key, (n_big, 2)),
+         jnp.full((n_big, 1), 2.0)], axis=-1
+    )
+    big = GaussianArrays(
+        xyz=xyz,
+        sh=jax.random.uniform(jax.random.PRNGKey(8), (n_big, 1, 3)),
+        log_scale=jnp.log(jnp.full((n_big, 3), 0.35)),
+        quat=jnp.tile(jnp.array([1.0, 0, 0, 0]), (n_big, 1)),
+        opa_logit=jnp.full((n_big, 1), -1.0),
+        active=jnp.ones((n_big,), bool),
+    )
+    gauss = GaussianArrays(*[jnp.concatenate([a, b]) for a, b in
+                             zip(small, big)])
+    # tiny sidecar + tiny span_cap so the big splats overflow it
+    cfg = CFG._replace(span_cap=2, k_big=4)
+    from monogs_tpu.render.renderer import build_tile_lists
+
+    T = jnp.eye(4)
+    lists_exact = build_tile_lists(gauss, T, INTR, cfg)
+    lists_margin, aux = build_tile_lists(gauss, T, INTR, cfg, margin=8.0,
+                                         with_aux=True)
+    out_e = render(gauss, T, INTR, cfg, lists=lists_exact)
+    out_m = render(gauss, T, INTR, cfg, lists=lists_margin)
+    np.testing.assert_allclose(out_m.image, out_e.image, atol=1e-6)
+    np.testing.assert_allclose(out_m.opacity, out_e.opacity, atol=1e-6)
+    # the big splats' strict span fits span_cap only if their radius spans
+    # <= 2 macro cells; with 0.35 scale at z=2 it spans more -> counted
+    assert int(aux.n_overflow) > 0
+
+    # and with a generous span_cap nothing overflows and we match golden
+    cfg2 = CFG._replace(span_cap=16, k_big=4)
+    lists2 = build_tile_lists(gauss, T, INTR, cfg2)
+    out2 = render(gauss, T, INTR, cfg2, lists=lists2)
+    out_g = render_golden(gauss, T, INTR)
+    np.testing.assert_allclose(out2.image, out_g.image, atol=2e-5)
+
+
+def test_offgrid_inflated_splat_claims_no_edge_cells():
+    """A splat whose margin-inflated box still misses the image must not be
+    binned into edge macro cells (grid_span clips to the grid; the
+    defensive mask in macro_instance_bin guards it)."""
+    from monogs_tpu.render.tiling import macro_instance_bin
+
+    u = jnp.array([-50.0, 30.0])
+    v = jnp.array([20.0, 20.0])
+    rad = jnp.array([10.0, 5.0])
+    valid = jnp.ones((2,), bool)
+    sel, vld, n_ov = macro_instance_bin(u, v, rad, valid, 2, 2, 32, 16)
+    # splat 0 is entirely left of the grid: only splat 1 (rank 1) may appear
+    assert not bool(jnp.any(vld & (sel == 0)))
+    assert int(n_ov) == 0
