@@ -131,6 +131,109 @@ def sharded_map_step(
     return step(m, cams)
 
 
+def pad_cams(cams: CamBatch, n_view: int) -> CamBatch:
+    """Pad the view batch to a multiple of the mesh size with invalid
+    slots (masked out of every loss/stat by cams.valid)."""
+    b = cams.T.shape[0]
+    pad = (-b) % n_view
+    if pad == 0:
+        return cams
+    from ..slam.mapping import empty_cam_batch
+
+    h, w = cams.gt_image.shape[-2:]
+    empty = empty_cam_batch(pad, h, w)
+    return jax.tree.map(
+        lambda a, e: jnp.concatenate([a, e], axis=0), cams, empty
+    )
+
+
+def sharded_map_iters(
+    m: gm.GaussianMap,
+    cams: CamBatch,
+    n_iters,
+    it_count,
+    key,
+    mesh: Mesh,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    mcfg: MapConfig,
+    hyper,
+    kf_adam=None,
+    initialization: bool = False,
+):
+    """The PRODUCTION fused mapping loop (slam.mapping.map_iters — dynamic
+    trip count, Adam carry, frozen per-view lists, densify/prune/opacity
+    resets) with the view batch sharded over the mesh's "view" axis.
+
+    Same signature and return contract as map_iters (cams padded to a
+    multiple of the mesh size; outputs sliced back). Map gradients and
+    densify statistics psum/pmax over ICI inside the body
+    (map_iters_impl(axis_name=...)); each device's replicated map update is
+    identical because every cross-view reduction precedes it.
+    """
+    from ..slam.mapping import new_kf_adam
+
+    n_view = mesh.shape["view"]
+    b0 = cams.T.shape[0]
+    cams = pad_cams(cams, n_view)
+    b = cams.T.shape[0]
+    if kf_adam is None:
+        kf_adam = new_kf_adam(b)
+    elif kf_adam[0].shape[0] != b:
+        pad = b - kf_adam[0].shape[0]
+        kf_adam = (
+            jnp.pad(kf_adam[0], ((0, pad), (0, 0))),
+            jnp.pad(kf_adam[1], ((0, pad), (0, 0))),
+            kf_adam[2],
+        )
+
+    fn = _sharded_fn(mesh, intr, cfg, mcfg, hyper, initialization)
+    m2, cams2, itc2, vis, ka2 = fn(
+        m, cams, jnp.int32(n_iters), jnp.int32(it_count), key, kf_adam
+    )
+    sl = lambda x: x[:b0]
+    return (
+        m2,
+        jax.tree.map(sl, cams2),
+        itc2,
+        vis[:b0],
+        ka2 if b == b0 else (ka2[0][:b0], ka2[1][:b0], ka2[2]),
+    )
+
+
+@functools.lru_cache(maxsize=32)
+def _sharded_fn(mesh, intr, cfg, mcfg, hyper, initialization):
+    """Jitted shard_map'd map_iters body, cached per static config."""
+    from ..slam.mapping import map_iters_impl
+
+    n_view = mesh.shape["view"]
+    # the isotropic regularizer is added once per device and its gradient
+    # psum'd — pre-scale so the reduced total matches single-device
+    mcfg_dev = mcfg._replace(
+        isotropic_weight=mcfg.isotropic_weight / n_view
+    )
+    body = functools.partial(
+        map_iters_impl,
+        intr=intr, cfg=cfg, mcfg=mcfg_dev, hyper=hyper,
+        initialization=initialization, axis_name="view",
+    )
+    fn = jax.shard_map(
+        lambda m_, cams_, ni, itc, k, ka: body(
+            m_, cams_, ni, itc, k, kf_adam=ka
+        ),
+        mesh=mesh,
+        in_specs=(P(), P("view"), P(), P(), P(),
+                  (P("view"), P("view"), P())),
+        out_specs=(P(), P("view"), P(), P("view"),
+                   (P("view"), P("view"), P())),
+        check_vma=False,  # the replicated map update is identical across
+                          # devices (all cross-view reductions precede it),
+                          # but the static replication checker can't see
+                          # through the densify lax.cond
+    )
+    return jax.jit(fn)
+
+
 def replicate_map(m: gm.GaussianMap, mesh: Mesh) -> gm.GaussianMap:
     sharding = jax.sharding.NamedSharding(mesh, P())
     return jax.device_put(m, sharding)

@@ -88,6 +88,17 @@ class BackEnd:
         self.point_size = ds.get("point_size", 0.01)
         self.adaptive_pointsize = ds.get("adaptive_pointsize", True)
 
+        # multi-chip view-parallel mapping (parallel/mesh.py): shard the
+        # window batch over a Parallel.n_devices mesh; 1 = single device
+        par = config.get("Parallel", {}) or {}
+        self.n_devices = int(par.get("n_devices", 1))
+        self._mesh = None
+        if self.n_devices > 1:
+            from ..parallel.mesh import make_mesh
+
+            self._mesh = make_mesh(self.n_devices)
+            Log(f"Mapping sharded over {self.n_devices} devices")
+
         self.iteration_count = 0
         self.last_sent = 0
         self.viewpoints: dict[int, Keyframe] = {}
@@ -103,6 +114,20 @@ class BackEnd:
     def _next_key(self):
         self._key, k = jax.random.split(self._key)
         return k
+
+    def _map_iters(self, m, cams, n_iters, it_count, key, **kw):
+        """map_iters, routed through the device mesh when configured."""
+        if self._mesh is None:
+            return map_iters(
+                m, cams, n_iters, it_count, key,
+                self.intr, self.render_cfg, self.mcfg, self.hyper, **kw,
+            )
+        from ..parallel.mesh import sharded_map_iters
+
+        return sharded_map_iters(
+            m, cams, n_iters, it_count, key, self._mesh,
+            self.intr, self.render_cfg, self.mcfg, self.hyper, **kw,
+        )
 
     def add_next_kf(self, frame_idx, kf: Keyframe, depth_map, init=False):
         """extend_from_pcd_seq (slam_backend.py:72-75)."""
@@ -211,10 +236,9 @@ class BackEnd:
             opt_pose=jnp.array([False]),
             opt_exposure=jnp.array([False]),
         )
-        self.gaussians, _, it, vis, _ = map_iters(
+        self.gaussians, _, it, vis, _ = self._map_iters(
             self.gaussians, cams, self.init_itr_num,
             jnp.int32(self.iteration_count), self._next_key(),
-            self.intr, self.render_cfg, self.mcfg, self.hyper,
             initialization=True,
         )
         self.iteration_count = int(it)
@@ -249,10 +273,9 @@ class BackEnd:
         if prune:
             if len(window) == self.window_size:
                 cams = self._stage_batch(window, [], 0)
-                _, _, _, vis, _ = map_iters(
+                _, _, _, vis, _ = self._map_iters(
                     self.gaussians, cams, 0, jnp.int32(self.iteration_count),
-                    self._next_key(), self.intr, self.render_cfg, self.mcfg,
-                    self.hyper,
+                    self._next_key(),
                 )
                 vis_np = np.asarray(vis)
                 for rank, kf_idx in enumerate(window):
@@ -282,10 +305,9 @@ class BackEnd:
         # calls between keyframes (torch keeps keyframe_optimizers alive,
         # slam_backend.py:397-401, 489); without this, iters=1 idle calls
         # degenerate into fixed-size sign steps on the poses
-        self.gaussians, cams_out, it, vis, self._kf_adam = map_iters(
+        self.gaussians, cams_out, it, vis, self._kf_adam = self._map_iters(
             self.gaussians, cams, iters, jnp.int32(self.iteration_count),
-            self._next_key(), self.intr, self.render_cfg, self.mcfg,
-            self.hyper, kf_adam=self._kf_adam,
+            self._next_key(), kf_adam=self._kf_adam,
         )
         self.iteration_count = int(it)
         self.last_sent += iters

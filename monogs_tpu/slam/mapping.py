@@ -123,23 +123,51 @@ def _batch_loss(params: gm.ParamLeaves, taus, eas, ebs, cams: CamBatch,
     """Total mapping loss over the batch + isotropic regularizer.
 
     taus/eas/ebs override the pose tangent and exposure of each view so that
-    gradients flow to them; renders run sequentially (lax.map) to bound
-    memory at B renders' worth of tile intermediates. lists_b optionally
-    carries frozen per-view TileLists (stacked on axis 0).
+    gradients flow to them. On the pallas_lists backend with frozen lists the
+    B views blend as ONE fused kernel invocation (render_batch) — B
+    sequential per-view kernels underfill the chip; otherwise renders run
+    sequentially (lax.map) to bound memory at B renders' worth of tile
+    intermediates. lists_b optionally carries frozen per-view TileLists
+    (stacked on axis 0).
     """
     gauss = _gauss_view(params, active)
 
-    def one(args):
-        cam, tau, ea, eb, off, lst = args
-        cam = cam._replace(ea=ea, eb=eb)
-        loss, radii = _mapping_loss_one(
-            gauss, cam, tau, intr, cfg, mcfg, off, initialization, lists=lst
-        )
-        return jnp.where(cam.valid, loss, 0.0), radii
+    if cfg.backend == "pallas_lists" and lists_b is not None:
+        from ..render.renderer import render_batch
 
-    per_view, radii = jax.lax.map(
-        one, (cams, taus, eas, ebs, means2d_offsets, lists_b)
-    )
+        image_b, depth_b, _, radii = render_batch(
+            gauss, cams.T, intr, cfg, lists_b, taus=taus,
+            means2d_offsets=means2d_offsets,
+        )
+        if mcfg.monocular:
+            per_view = jax.vmap(
+                lambda img, gt, msk, ea, eb: losses.mapping_loss_rgb(
+                    img, gt, msk, ea, eb, initialization=initialization
+                )
+            )(image_b, cams.gt_image, cams.mapping_mask, eas, ebs)
+        else:
+            per_view = jax.vmap(
+                lambda img, dep, gt, gtd, msk, ea, eb:
+                losses.mapping_loss_rgbd(
+                    img, dep, gt, gtd, msk, ea, eb, alpha=mcfg.alpha,
+                    initialization=initialization,
+                )
+            )(image_b, depth_b, cams.gt_image, cams.gt_depth,
+              cams.mapping_mask, eas, ebs)
+        per_view = jnp.where(cams.valid, per_view, 0.0)
+    else:
+        def one(args):
+            cam, tau, ea, eb, off, lst = args
+            cam = cam._replace(ea=ea, eb=eb)
+            loss, radii = _mapping_loss_one(
+                gauss, cam, tau, intr, cfg, mcfg, off, initialization,
+                lists=lst,
+            )
+            return jnp.where(cam.valid, loss, 0.0), radii
+
+        per_view, radii = jax.lax.map(
+            one, (cams, taus, eas, ebs, means2d_offsets, lists_b)
+        )
     total = jnp.sum(per_view)
     scaling = jnp.exp(params.log_scale)
     total = total + mcfg.isotropic_weight * losses.isotropic_reg(scaling, active)
@@ -174,10 +202,7 @@ def new_kf_adam(b: int):
     return (jnp.zeros((b, 8)), jnp.zeros((b, 8)), jnp.float32(0))
 
 
-@functools.partial(
-    jax.jit, static_argnames=("intr", "cfg", "mcfg", "hyper", "initialization")
-)
-def map_iters(
+def map_iters_impl(
     m: gm.GaussianMap,
     cams: CamBatch,
     n_iters,
@@ -189,6 +214,7 @@ def map_iters(
     hyper: gm.MapHyper,
     kf_adam=None,
     initialization: bool = False,
+    axis_name: str | None = None,
 ):
     """Run `n_iters` (dynamic) mapping iterations; returns (map, cams,
     it_count, visibility [B, N] bool from a final n_touched pass, kf_adam).
@@ -202,6 +228,15 @@ def map_iters(
     calls between keyframes — the reference's keyframe_optimizers object
     persists through the idle-mapping loop (slam_backend.py:397-401) and is
     only recreated on a new keyframe.
+
+    With `axis_name` the SAME body runs under shard_map with the view batch
+    sharded over that mesh axis (parallel/mesh.py sharded_map_iters): map
+    gradients, densification statistics, and visibility reduce over ICI
+    (psum / pmax), pose/exposure Adam stays local to the owning device, and
+    the replicated map update is bit-identical across devices because every
+    cross-view reduction happens before it. Callers must pre-scale
+    mcfg.isotropic_weight by 1/n_devices (the regularizer is added once per
+    device and its gradient gets psum'd).
     """
     b = cams.T.shape[0]
     n = m.capacity
@@ -245,18 +280,26 @@ def map_iters(
             has_aux=True,
         )(mc.params, taus0, cams_c.ea, cams_c.eb, offs0)
         g_params, g_tau, g_ea, g_eb, g_offs = grads
+        if axis_name is not None:
+            # map-parameter gradients reduce over the view mesh axis (ICI)
+            g_params = jax.lax.psum(g_params, axis_name)
 
         # densification stats: per-view screen-space grad norms for visible
         # gaussians (visibility_filter = radii > 0), summed over views
         # (add_densification_stats per view, slam_backend.py:292-299)
         vis = (radii > 0) & cams_c.valid[:, None]          # [B, N]
         norms = jnp.linalg.norm(g_offs, axis=-1)           # [B, N]
+        accum_d = jnp.sum(jnp.where(vis, norms, 0.0), 0)
+        denom_d = jnp.sum(vis, 0).astype(jnp.float32)
+        radii_d = jnp.max(jnp.where(vis, radii, 0.0), 0)
+        if axis_name is not None:
+            accum_d = jax.lax.psum(accum_d, axis_name)
+            denom_d = jax.lax.psum(denom_d, axis_name)
+            radii_d = jax.lax.pmax(radii_d, axis_name)
         mc = mc._replace(
-            grad_accum=mc.grad_accum + jnp.sum(jnp.where(vis, norms, 0.0), 0),
-            denom=mc.denom + jnp.sum(vis, 0).astype(jnp.float32),
-            max_radii2d=jnp.maximum(
-                mc.max_radii2d, jnp.max(jnp.where(vis, radii, 0.0), 0)
-            ),
+            grad_accum=mc.grad_accum + accum_d,
+            denom=mc.denom + denom_d,
+            max_radii2d=jnp.maximum(mc.max_radii2d, radii_d),
         )
 
         # map Adam step (the reference steps after densify bookkeeping; the
@@ -292,6 +335,10 @@ def map_iters(
             mc = jax.lax.cond(do_reset, gm.reset_opacity, lambda mm: mm, mc)
         else:
             visible_any = jnp.any(vis, axis=0)
+            if axis_name is not None:
+                visible_any = (
+                    jax.lax.psum(visible_any.astype(jnp.int32), axis_name) > 0
+                )
             mc = jax.lax.cond(
                 do_reset,
                 lambda mm: gm.reset_opacity_nonvisible(mm, visible_any),
@@ -367,6 +414,13 @@ def map_iters(
     return carry.m, carry.cams, carry.it_count, visibility, (
         carry.kf_adam_m, carry.kf_adam_v, carry.kf_adam_t,
     )
+
+
+map_iters = functools.partial(
+    jax.jit,
+    static_argnames=("intr", "cfg", "mcfg", "hyper", "initialization",
+                     "axis_name"),
+)(map_iters_impl)
 
 
 @functools.partial(

@@ -137,3 +137,51 @@ def test_densify_inside_loop_runs():
     )
     assert np.isfinite(np.asarray(m2.params.xyz)).all()
     assert int(m2.n_active) > 0
+
+
+def test_batch_loss_pallas_matches_xla():
+    """The batched multi-view blend (render_batch, ONE kernel call across
+    views) must produce the same mapping loss and gradients as the per-view
+    lax.map XLA path."""
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.slam.mapping import _batch_loss
+
+    scene, m = scene_and_map()
+    views = target_views(scene, 3)
+    cams = make_batch(views)
+    # bound residuals away from 0: the L1 subgradient sign flips on backend
+    # numerical noise wherever |r| ~ 0 (same trick as test_vjp_parity)
+    cams = cams._replace(gt_image=cams.gt_image + 0.03,
+                         gt_depth=cams.gt_depth + 0.05)
+    b = 3
+    n = m.capacity
+    cfg_x = CFG._replace(with_n_touched=False)
+    cfg_p = cfg_x._replace(backend="pallas_lists", pallas_interpret=True)
+
+    lists_b = jax.lax.map(
+        lambda T: build_tile_lists(m.render_view(), T, INTR, cfg_x,
+                                   margin=4.0),
+        cams.T,
+    )
+    taus = jnp.zeros((b, 6))
+    offs = jnp.zeros((b, n, 2))
+
+    def run(cfg):
+        return jax.value_and_grad(
+            lambda params, taus, eas, ebs, offs: _batch_loss(
+                params, taus, eas, ebs, cams, m.active, offs,
+                INTR, cfg, MCFG, False, lists_b,
+            ),
+            argnums=(0, 1, 2, 3, 4), has_aux=True,
+        )(m.params, taus, cams.ea, cams.eb, offs)
+
+    (loss_x, radii_x), g_x = run(cfg_x)
+    (loss_p, radii_p), g_p = run(cfg_p)
+    np.testing.assert_allclose(float(loss_p), float(loss_x), rtol=2e-5)
+    np.testing.assert_allclose(np.asarray(radii_p), np.asarray(radii_x),
+                               atol=1e-4)
+    for a, b_ in zip(jax.tree.leaves(g_x), jax.tree.leaves(g_p)):
+        np.testing.assert_allclose(
+            np.asarray(b_), np.asarray(a), atol=5e-5,
+            err_msg="gradient mismatch between batched pallas and xla paths",
+        )
