@@ -30,6 +30,11 @@ class GaussianPacket:
     kf_window: dict = field(default_factory=dict)
     gtcolor: Any = None              # [3, H, W]
     gtdepth: Any = None              # [H, W]
+    # full estimated / ground-truth camera-center trajectories [n, 3]
+    # (feeds the 3D map view's polyline; the reference draws these in its
+    # Open3D scene, gui/slam_gui.py:256-344)
+    trajectory: Any = None
+    trajectory_gt: Any = None
     finish: bool = False
 
 

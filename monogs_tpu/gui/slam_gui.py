@@ -49,6 +49,16 @@ _PAGE = """<!DOCTYPE html>
  <div><h4>input frame</h4><img id="i" width="480"/></div>
  <div><h4>depth</h4><img id="d" width="480"/></div>
 </div>
+<div class="row">
+ <div><h4>3D map (drag yaw/pitch, frustums + trajectory)</h4>
+  <img id="m" width="640"/><br/>
+  yaw <input id="yaw" type="range" min="-3.14" max="3.14" step="0.05" value="0"/>
+  pitch <input id="pitch" type="range" min="-1.4" max="1.4" step="0.05" value="0.5"/>
+  mode <select id="mode"><option>rgb</option><option>depth</option>
+   <option>opacity</option><option>ellipsoid</option></select>
+  scale <input id="scale" type="range" min="0.05" max="1.5" step="0.05" value="1"/>
+ </div>
+</div>
 <p>
  <button onclick="fetch('/pause',{method:'POST'})">pause</button>
  <button onclick="fetch('/unpause',{method:'POST'})">unpause</button>
@@ -60,6 +70,11 @@ _PAGE = """<!DOCTYPE html>
    document.getElementById('v').src = '/view.jpg?t=' + t;
    document.getElementById('i').src = '/input.jpg?t=' + t;
    document.getElementById('d').src = '/depth.jpg?t=' + t;
+   document.getElementById('m').src = '/map3d.jpg?t=' + t
+     + '&yaw=' + document.getElementById('yaw').value
+     + '&pitch=' + document.getElementById('pitch').value
+     + '&mode=' + document.getElementById('mode').value
+     + '&scale=' + document.getElementById('scale').value;
    const s = await (await fetch('/stats')).json();
    document.getElementById('s').textContent = JSON.stringify(s, null, 2);
  }
@@ -107,7 +122,159 @@ def _turbo(depth_hw):
     return rgb
 
 
+def _lookat_w2c(eye, center, up=(0.0, -1.0, 0.0)):
+    """World->camera 4x4 for a camera at `eye` looking at `center` (OpenCV
+    convention: +z forward, +y down — up defaults to -y world)."""
+    eye = np.asarray(eye, np.float64)
+    fwd = np.asarray(center, np.float64) - eye
+    fwd = fwd / max(np.linalg.norm(fwd), 1e-9)
+    up = np.asarray(up, np.float64)
+    right = np.cross(fwd, up)
+    right = right / max(np.linalg.norm(right), 1e-9)
+    down = np.cross(fwd, right)
+    R = np.stack([right, down, fwd], axis=0)  # rows: camera axes in world
+    T = np.eye(4)
+    T[:3, :3] = R
+    T[:3, 3] = -R @ eye
+    return T.astype(np.float32)
+
+
+def _project_pts(pts_w, T_wc, intr):
+    """[n,3] world -> ([n,2] pixels, [n] z). No clipping."""
+    R = T_wc[:3, :3]
+    t = T_wc[:3, 3]
+    pc = pts_w @ R.T + t
+    z = pc[:, 2]
+    zs = np.where(np.abs(z) < 1e-6, 1e-6, z)
+    u = intr.fx * pc[:, 0] / zs + intr.cx
+    v = intr.fy * pc[:, 1] / zs + intr.cy
+    return np.stack([u, v], axis=-1), z
+
+
+def _draw_polyline(img_hwc, pts_w, T_view, intr, color, closed=False):
+    """Draw a 3D polyline into the uint8 image (segments with both
+    endpoints in front of the camera only)."""
+    if pts_w is None or len(pts_w) < 2:
+        return
+    uv, z = _project_pts(np.asarray(pts_w, np.float64), T_view, intr)
+    try:
+        import cv2
+
+        pairs = zip(range(len(uv) - 1), range(1, len(uv)))
+        if closed:
+            pairs = list(pairs) + [(len(uv) - 1, 0)]
+        for a, b in pairs:
+            if z[a] > 0.05 and z[b] > 0.05:
+                cv2.line(
+                    img_hwc,
+                    (int(uv[a, 0]), int(uv[a, 1])),
+                    (int(uv[b, 0]), int(uv[b, 1])),
+                    color, 1, cv2.LINE_AA,
+                )
+    except ImportError:
+        # crude fallback: plot the vertices as dots
+        h, w = img_hwc.shape[:2]
+        for (u, v), zz in zip(uv, z):
+            if zz > 0.05 and 0 <= int(v) < h and 0 <= int(u) < w:
+                img_hwc[int(v), int(u)] = color
+
+
+def _frustum_pts(T_kf, intr, depth=0.15):
+    """5 world points (apex + 4 image corners at `depth`) of a keyframe
+    camera frustum (reference draws these as line sets,
+    gui/slam_gui.py:256-344)."""
+    T = np.asarray(T_kf, np.float64)
+    R = T[:3, :3]
+    t = T[:3, 3]
+    C = -R.T @ t
+    corners_px = np.array(
+        [[0, 0], [intr.width, 0], [intr.width, intr.height], [0, intr.height]],
+        np.float64,
+    )
+    x = (corners_px[:, 0] - intr.cx) / intr.fx
+    y = (corners_px[:, 1] - intr.cy) / intr.fy
+    dirs = np.stack([x, y, np.ones(4)], axis=-1) * depth
+    world = C[None, :] + dirs @ R  # R^T.T = R applied row-wise: d_w = R^T d_c
+    return C, world
+
+
+def _draw_frustum(img_hwc, T_kf, T_view, intr, color):
+    C, corners = _frustum_pts(T_kf, intr)
+    _draw_polyline(img_hwc, corners, T_view, intr, color, closed=True)
+    for k in range(4):
+        _draw_polyline(
+            img_hwc, np.stack([C, corners[k]]), T_view, intr, color
+        )
+
+
 _render_jit = None
+
+
+def _map3d_view(state: _State, yaw, pitch, dist, mode, scale):
+    """Free-orbit render of the map + frustum graph + trajectory polylines
+    (the reference's 3D scene widget, gui/slam_gui.py:256-344, 514-671).
+
+    The orbit camera circles the map centroid; `mode` selects rgb / depth /
+    opacity / ellipsoid (opaque splats, the GL ellipsoid mode's analogue),
+    `scale` is the reference GUI's scale slider (scale_modifier)."""
+    import jax
+    import jax.numpy as jnp
+
+    global _render_jit
+    if _render_jit is None:
+        from ..render import render
+
+        _render_jit = jax.jit(
+            render, static_argnames=("intr", "cfg", "scale_modifier")
+        )
+
+    p = state.params
+    with state.lock:
+        gauss = state.gaussians
+        pkt = state.latest
+    if gauss is None:
+        return None
+    gv = gauss.render_view()
+    xyz = np.asarray(gv.xyz)
+    act = np.asarray(gv.active)
+    if not act.any():
+        return None
+    center = xyz[act].mean(axis=0)
+    spread = float(np.percentile(
+        np.linalg.norm(xyz[act] - center, axis=-1), 90
+    ))
+    d = dist if dist > 0 else max(2.5 * spread, 0.5)
+    cy, sy = np.cos(yaw), np.sin(yaw)
+    cp, sp = np.cos(pitch), np.sin(pitch)
+    eye = center + d * np.array([sy * cp, -sp, -cy * cp])
+    T_view = _lookat_w2c(eye, center)
+
+    if mode == "ellipsoid":
+        gv = gv._replace(opa_logit=jnp.full_like(gv.opa_logit, 8.0))
+    out = _render_jit(
+        gv, jnp.asarray(T_view), p.intr,
+        p.render_cfg._replace(with_n_touched=False),
+        scale_modifier=float(scale),
+    )
+    if mode == "depth":
+        img = _turbo(np.asarray(out.depth[0]))
+    elif mode == "opacity":
+        img = np.repeat(np.asarray(out.opacity), 3, axis=0)
+    else:
+        img = np.clip(np.asarray(out.image), 0, 1)
+    hwc = np.ascontiguousarray(
+        (img.transpose(1, 2, 0) * 255).astype(np.uint8)
+    )
+
+    # overlays: keyframe frustums (yellow), current camera (red), estimated
+    # trajectory (green), ground truth (blue)
+    for kf in pkt.keyframes:
+        _draw_frustum(hwc, kf.T, T_view, p.intr, (255, 220, 60))
+    if pkt.current_frame is not None:
+        _draw_frustum(hwc, pkt.current_frame.T, T_view, p.intr, (255, 60, 60))
+    _draw_polyline(hwc, pkt.trajectory, T_view, p.intr, (80, 255, 120))
+    _draw_polyline(hwc, pkt.trajectory_gt, T_view, p.intr, (90, 140, 255))
+    return hwc
 
 
 def _render_view(state: _State, offsets):
@@ -216,6 +383,25 @@ def run(params):
                     self._send(b"", "image/jpeg")
                     return
                 body, ctype = _encode_jpg(img)
+                self._send(body, ctype)
+            elif url.path == "/map3d.jpg":
+                q = parse_qs(url.query)
+
+                def f(k, d="0"):
+                    return float(q.get(k, [d])[0])
+
+                img = _map3d_view(
+                    state,
+                    yaw=f("yaw"), pitch=f("pitch", "0.5"),
+                    dist=f("dist"),  # 0 = auto from map spread
+                    mode=q.get("mode", ["rgb"])[0],
+                    scale=f("scale", "1"),
+                )
+                if img is None:
+                    self._send(b"", "image/jpeg")
+                    return
+                arr = img.astype(np.float32).transpose(2, 0, 1) / 255.0
+                body, ctype = _encode_jpg(arr)
                 self._send(body, ctype)
             elif url.path == "/depth.jpg":
                 _, depth = _render_view(state, [0] * 6)

@@ -118,6 +118,44 @@ def lm_sweep(gauss, frame: FrameData, T, intr, cfg, tcfg, key,
     return results
 
 
+def step_size_sweep(gauss, frame: FrameData, T, intr, cfg, tcfg, key,
+                    step_sizes=(3e-4, 1e-3, 3e-3, 1e-2, 3e-2),
+                    n_iters=20):
+    """First-order step-size sweep (reference :1310-1675): run n_iters of
+    plain gradient descent on the tracking objective at each step size and
+    record the loss trajectory — the loss landscape that motivated the
+    fork's second-order tracker. Returns {step_size: {"losses": [...],
+    "final_pose_delta": float}}."""
+    from ..ops import se3
+    from .tracking import _fo_loss
+
+    cfg_t = cfg._replace(with_n_touched=False)
+    results = {}
+    for lr in step_sizes:
+        Tc = T
+        ea = jnp.float32(1.0)
+        eb = jnp.float32(0.0)
+        traj = []
+        for _ in range(n_iters):
+            p = jnp.concatenate([jnp.zeros(6), ea[None], eb[None]])
+            (loss, (l1, _)), g = jax.value_and_grad(
+                lambda q: _fo_loss(gauss, frame, Tc, q, intr, cfg_t, tcfg),
+                has_aux=True,
+            )(p)
+            traj.append(float(l1))
+            d = -lr * g
+            Tc = se3.se3_exp(d[:6]) @ Tc
+            ea = ea + d[6]
+            eb = eb + d[7]
+        trans_d, ang_d = se3.pose_diff(Tc, T)
+        results[float(lr)] = {
+            "losses": traj,
+            "final_trans_delta": float(trans_d),
+            "final_angle_delta": float(ang_d),
+        }
+    return results
+
+
 def main():
     import json
 

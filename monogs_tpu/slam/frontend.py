@@ -91,6 +91,8 @@ class FrontEnd:
         self._key = jax.random.PRNGKey(seed)
         self._np_rng = np.random.default_rng(seed)
         self._ate_log: list[tuple[int, float]] = []
+        self._traj: list[np.ndarray] = []     # estimated camera centers
+        self._traj_gt: list[np.ndarray] = []
 
         # profiling / per-frame logs (SURVEY.md section 5; reference
         # slam_frontend.py:131-146, 882-898)
@@ -98,6 +100,31 @@ class FrontEnd:
 
         rgn = tr.get("RGN", {})
         self.timers = StageTimers(period=10)
+
+        # tracking override / replay modes (slam_frontend.py:106-110,
+        # 756-813): "gt" replaces the tracked pose with ground truth;
+        # "first" replays a previously logged run's per-frame poses
+        # unconditionally; "best" replays only the logged frames whose
+        # tracking loss beat this run's. Isolates tracking error from
+        # mapping error in A/B experiments.
+        override = rgn.get("override", {})
+        self.override_mode = override.get("mode", "none")
+        self.override_data = None
+        if self.override_mode in ("first", "best"):
+            from ..utils.profiling import load_profile_logs
+
+            logdir = override.get("first_logdir", "outputs")
+            self.override_data = load_profile_logs(logdir)
+            if not self.override_data:
+                raise FileNotFoundError(
+                    f"override mode '{self.override_mode}' found no "
+                    f"run-frame*.npz logs under {logdir}"
+                )
+            Log(
+                f"Tracking override '{self.override_mode}': replaying "
+                f"{len(self.override_data)} logged frames from {logdir}"
+            )
+
         self.profile_logger = None
         if rgn.get("log_output", False):
             logdir = os.path.join(
@@ -196,6 +223,22 @@ class FrontEnd:
         frame.T = res.T
         frame.exposure_a = res.ea
         frame.exposure_b = res.eb
+
+        # override / replay (slam_frontend.py:756-813)
+        if self.override_mode == "gt":
+            frame.T = frame.T_gt
+        elif self.override_mode in ("first", "best"):
+            rec = self.override_data.get(cur_frame_idx)
+            if rec is not None and "pose" in rec:
+                replay = self.override_mode == "first" or (
+                    float(rec.get("last_l1", np.inf)) < float(res.last_l1)
+                )
+                if replay:
+                    frame.T = jnp.asarray(rec["pose"], jnp.float32)
+                    if "exposure_a" in rec:
+                        frame.exposure_a = jnp.float32(rec["exposure_a"])
+                        frame.exposure_b = jnp.float32(rec["exposure_b"])
+
         self.median_depth = float(res.median_depth)
         self.timers.add("tracking", elapsed)
         self.timers.frame_done()
@@ -206,9 +249,13 @@ class FrontEnd:
                 last_l1=float(res.last_l1),
                 fo_iters=int(res.fo_iters),
                 so_iters=int(res.so_iters),
+                # own tracking output (pre-override), so a replay run's logs
+                # stay replayable (reference logs inside tracking, :882-898)
                 pose=np.asarray(res.T),
                 exposure_a=float(res.ea),
                 exposure_b=float(res.eb),
+                fo_losses=np.asarray(res.fo_losses),
+                so_losses=np.asarray(res.so_losses),
             )
         return res
 
@@ -255,6 +302,12 @@ class FrontEnd:
         )
         import numpy as np
 
+        def center(T):
+            T = np.asarray(T)
+            return -T[:3, :3].T @ T[:3, 3]
+
+        self._traj.append(center(frame.T))
+        self._traj_gt.append(center(frame.T_gt))
         pkt = GaussianPacket(
             gaussians=self.gaussians if cur_frame_idx % 5 == 0 else None,
             current_frame=CameraMsg(
@@ -264,6 +317,8 @@ class FrontEnd:
             kf_window=kf_window,
             gtcolor=np.asarray(frame.data.gt_image) if frame.data else None,
             gtdepth=frame.depth_np,
+            trajectory=np.asarray(self._traj, np.float32),
+            trajectory_gt=np.asarray(self._traj_gt, np.float32),
         )
         self.q_main2vis.put(pkt)
 

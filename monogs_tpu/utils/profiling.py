@@ -97,6 +97,26 @@ class ProfileLogger:
         self.records = []
 
 
+def load_profile_logs(logdir: str) -> dict:
+    """Load every run-frame*.npz under `logdir` into {frame_idx: record}.
+
+    The consumer side of ProfileLogger (the reference's processing/utils.py
+    load_data over run-frame*.pt); records carry whatever fields were logged
+    (pose [4,4], exposure_a/b, last_l1, tracking_ms, ...). Used by the
+    tracking override/replay modes (slam_frontend.py:106-110, 756-813) and
+    the offline analysis plots."""
+    import glob
+
+    out: dict[int, dict] = {}
+    for fname in sorted(glob.glob(os.path.join(logdir, "run-frame*.npz"))):
+        with np.load(fname, allow_pickle=False) as z:
+            keys = list(z.keys())
+            frames = z["frame"]
+            for i, fi in enumerate(np.asarray(frames, np.int64)):
+                out[int(fi)] = {k: z[k][i] for k in keys}
+    return out
+
+
 @contextlib.contextmanager
 def trace(logdir: str):
     """Capture a device trace viewable in TensorBoard/XProf."""

@@ -53,6 +53,10 @@ def gui():
         keyframes=[CameraMsg(uid=0, T=jnp.eye(4))],
         kf_window={0: []},
         gtcolor=np.full((3, 24, 32), 0.5, np.float32),
+        trajectory=np.array([[0, 0, 0], [0.05, 0, 0.1], [0.1, 0.02, 0.2]],
+                            np.float32),
+        trajectory_gt=np.array([[0, 0, 0], [0.04, 0, 0.1], [0.09, 0.02, 0.2]],
+                               np.float32),
     ))
     time.sleep(1.0)
     yield q_m2v, q_v2m, t
@@ -96,6 +100,21 @@ def test_pause_unpause_roundtrip(gui):
     urllib.request.urlopen(req, timeout=10)
     pkt = q_v2m.get(timeout=5)
     assert not pkt.flag_pause
+
+
+def test_map3d_view(gui):
+    """The free-orbit 3D map view (frustums + trajectory overlays): valid
+    image bytes, orbit angle actually changes the render, and every render
+    mode responds (reference capability: gui/slam_gui.py:256-344,514-671)."""
+    base = _get("/map3d.jpg?yaw=0&pitch=0.5&mode=rgb&scale=1")
+    assert base[:2] == b"\xff\xd8" or base[:2] == b"P6"
+    orbited = _get("/map3d.jpg?yaw=1.2&pitch=0.2&mode=rgb&scale=1")
+    assert orbited != base
+    for mode in ("depth", "opacity", "ellipsoid"):
+        img = _get(f"/map3d.jpg?yaw=0&pitch=0.5&mode={mode}&scale=1")
+        assert len(img) > 100, mode
+    scaled = _get("/map3d.jpg?yaw=0&pitch=0.5&mode=rgb&scale=0.3")
+    assert scaled != base  # scale slider reaches the renderer
 
 
 def test_404(gui):
