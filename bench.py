@@ -158,6 +158,7 @@ def main():
     # secondary metrics on stderr — the headline JSON line below stays the
     # monocular tracking number
     secondary = {}
+    frames = [d.gt_image for d in datas]
     try:
         map_ips = bench_mapping(scene, frames, poses, intr, cfg)
         print(f"[bench] mapping: {map_ips:.2f} BA iters/s "
