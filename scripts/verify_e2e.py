@@ -19,6 +19,11 @@ cfg["Results"]["save_trj"] = True
 cfg["Results"]["eval_rendering"] = True
 cfg["Results"]["use_gui"] = False
 cfg["Dataset"]["synthetic"]["n_frames"] = 16
+# orbit_pose(i/n_frames) traverses the FULL orbit whatever n_frames is:
+# trimming 64 -> 16 frames quadruples per-frame motion unless the
+# amplitudes shrink with it (tests/test_slam_e2e.py does the same).
+cfg["Dataset"]["synthetic"]["trans_amp"] = 0.0625
+cfg["Dataset"]["synthetic"]["rot_amp"] = 0.015
 cfg["Training"]["init_itr_num"] = 120
 cfg["Training"]["mapping_itr_num"] = 30
 cfg["Training"]["refinement_itr"] = 200
