@@ -70,6 +70,21 @@ class FrontEnd:
         self.edge_threshold = tr["edge_threshold"]
         self.rgb_boundary_threshold = tr["rgb_boundary_threshold"]
         self.single_thread = config["Dataset"].get("single_thread", False)
+        # Depth-1 tracking dispatch pipeline: enqueue frame i's fused
+        # tracking program (seeded from frame i-1's still-in-flight device
+        # result) BEFORE the host syncs frame i-1, then do i-1's host-side
+        # work (keyframe decision, GUI, logs) while the device runs frame i.
+        # Hides the per-frame host sync (~30-50 ms on the axon relay —
+        # bench.py measured 264 -> 216 ms/frame). Semantics deviation is
+        # bounded: the speculated frame may track against a map snapshot one
+        # sync_backend message older than the serial order would use — noise
+        # already inherent to the threaded mode. Auto-disabled while
+        # uninitialized (map resets), in single_thread deterministic mode,
+        # and under pose-override replay (the seed must see overridden
+        # poses). Training.pipeline_tracking: false opts out.
+        self.pipeline_tracking = tr.get("pipeline_tracking", True)
+        self._pending = None  # (idx, Frame, TrackResult, t_dispatch)
+        self.n_pipelined = 0  # frames dispatched ahead of the host sync
         self.dataset_type = config["Dataset"].get("type", "tum")
         self.save_results = config["Results"].get("save_results", False)
         self.save_trj = config["Results"].get("save_trj", False)
@@ -192,20 +207,21 @@ class FrontEnd:
         self.reset = False
 
     def tracking(self, cur_frame_idx, frame: Frame):
-        """Pose seed + fused tracking (slam_frontend.py:340-902)."""
-        if (
-            self.initialized
-            and cur_frame_idx > self.constant_velocity_warmup
-            and self.monocular
-        ):
-            # the reference computes constant-velocity but then overrides with
-            # the previous pose (:349-358); keep that behavior
-            prev = self.cameras[cur_frame_idx - self.use_every_n_frames]
-            frame.T = prev.T
-        else:
-            prev = self.cameras[cur_frame_idx - self.use_every_n_frames]
-            frame.T = prev.T
+        """Pose seed + fused tracking, serially (slam_frontend.py:340-902).
 
+        The reference computes a constant-velocity seed but then overrides
+        it with the previous pose (:349-358); keep that behavior. The
+        previous pose may be a still-in-flight device array (pipelined
+        mode passes the unsynced TrackResult.T) — track_frame dispatches
+        on it without forcing a host sync.
+        """
+        prev = self.cameras[cur_frame_idx - self.use_every_n_frames]
+        res, t0 = self._dispatch_tracking(cur_frame_idx, frame, prev.T)
+        return self._finish_tracking(cur_frame_idx, frame, res, t0)
+
+    def _dispatch_tracking(self, cur_frame_idx, frame: Frame, seed_T):
+        """Enqueue the fused tracking program; returns (async result, t0)."""
+        frame.T = seed_T
         t0 = time.time()
         res = track_frame(
             self.gaussians.render_view(),
@@ -218,6 +234,15 @@ class FrontEnd:
             self.render_cfg,
             self.tcfg,
         )
+        return res, t0
+
+    def _finish_tracking(self, cur_frame_idx, frame: Frame, res, t0):
+        """Host sync + per-frame bookkeeping for a dispatched tracking call.
+
+        In pipelined mode the elapsed time spans dispatch -> ready, which
+        overlaps the previous frame's host work — it is the frame's true
+        wall-clock contribution in steady state, not pure device time.
+        """
         jax.block_until_ready(res.T)
         elapsed = time.time() - t0
         frame.T = res.T
@@ -258,6 +283,16 @@ class FrontEnd:
                 so_losses=np.asarray(res.so_losses),
             )
         return res
+
+    def _flush_pending(self, post: bool = True):
+        """Sync + host-side processing for the in-flight pipelined frame."""
+        if self._pending is None:
+            return
+        idx, frame, res, t0 = self._pending
+        self._pending = None
+        self._finish_tracking(idx, frame, res, t0)
+        if post:
+            self._post_tracking(idx, frame, res)
 
     def request_keyframe(self, cur_frame_idx, frame: Frame, current_window,
                          depthmap):
@@ -354,6 +389,80 @@ class FrontEnd:
             self.metrics.log({"frame_idx": cur_frame_idx, "ate": ate})
         return ate
 
+    def _post_tracking(self, cur_frame_idx, frame: Frame, res) -> bool:
+        """Keyframe decision + window management after a tracked frame
+        (slam_frontend.py:1868-1960). Returns False when a monocular map
+        reset was triggered and the frame index must NOT advance — the same
+        frame re-initializes the map on the next loop pass
+        (slam_frontend.py:1947-51)."""
+        self._send_gui_packet(cur_frame_idx, frame)
+
+        if self.requested_keyframe > 0:
+            self.cleanup(cur_frame_idx)
+            return True
+
+        last_keyframe_idx = self.current_window[0]
+        check_time = (
+            cur_frame_idx - last_keyframe_idx
+        ) >= self.kf_interval
+        curr_visibility = np.asarray(res.n_touched) > 0
+        create_kf = is_keyframe(
+            np.asarray(frame.T),
+            np.asarray(self.cameras[last_keyframe_idx].T),
+            self.median_depth,
+            curr_visibility,
+            self.occ_aware_visibility[last_keyframe_idx],
+            self.kf_translation,
+            self.kf_min_translation,
+            self.kf_overlap,
+        )
+        if len(self.current_window) < self.window_size:
+            ratio = overlap_ratio(
+                curr_visibility,
+                self.occ_aware_visibility[last_keyframe_idx],
+            )
+            create_kf = check_time and ratio < self.kf_overlap
+        if self.single_thread:
+            create_kf = check_time and create_kf
+
+        if create_kf:
+            poses = {
+                idx: np.asarray(self.cameras[idx].T)
+                for idx in self.current_window + [cur_frame_idx]
+            }
+            self.current_window, removed = add_to_window(
+                cur_frame_idx, curr_visibility,
+                self.occ_aware_visibility, self.current_window,
+                poses, self.window_size, self.kf_cutoff,
+                self.initialized,
+            )
+            if self.monocular and not self.initialized and removed is not None:
+                self.reset = True
+                Log(
+                    "Keyframes lacks sufficient overlap to initialize "
+                    "the map, resetting."
+                )
+                return False
+            depth_map = self.add_new_keyframe(
+                cur_frame_idx, depth=res.depth, opacity=res.opacity,
+                init=False,
+            )
+            self.request_keyframe(
+                cur_frame_idx, frame, self.current_window, depth_map
+            )
+        else:
+            self.cleanup(cur_frame_idx)
+
+        if (
+            self.save_results
+            and self.save_trj
+            and create_kf
+            and len(self.kf_indices) % self.save_trj_kf_intv == 0
+        ):
+            Log("Evaluating ATE at frame: ", cur_frame_idx + 1)
+            self.eval_ate_now(cur_frame_idx + 1)
+        return True
+
     # ------------------------------------------------------------------
     def run(self):
         cur_frame_idx = 0
@@ -363,6 +472,7 @@ class FrontEnd:
                 continue
             if self.frontend_queue.empty():
                 if cur_frame_idx >= len(self.dataset):
+                    self._flush_pending()
                     if self.save_results and self.save_trj:
                         self.eval_ate_now(cur_frame_idx, final=True)
                     if self.profile_logger is not None:
@@ -383,6 +493,7 @@ class FrontEnd:
                 self.cameras[cur_frame_idx] = frame
 
                 if self.reset:
+                    self._flush_pending()  # defensive: pending implies initialized
                     self.initialize(cur_frame_idx, frame)
                     self.current_window.append(cur_frame_idx)
                     cur_frame_idx += 1
@@ -392,79 +503,36 @@ class FrontEnd:
                     len(self.current_window) == self.window_size
                 )
 
-                res = self.tracking(cur_frame_idx, frame)
-
-                self._send_gui_packet(cur_frame_idx, frame)
-
-                if self.requested_keyframe > 0:
-                    self.cleanup(cur_frame_idx)
+                pipelined = (
+                    self.pipeline_tracking
+                    and self.initialized
+                    and not self.single_thread
+                    and self.override_mode == "none"
+                )
+                if pipelined:
+                    # seed from the in-flight device result when one exists:
+                    # no host sync between consecutive tracking dispatches
+                    prev_T = (
+                        self._pending[2].T
+                        if self._pending is not None
+                        else self.cameras[
+                            cur_frame_idx - self.use_every_n_frames
+                        ].T
+                    )
+                    res, t0 = self._dispatch_tracking(
+                        cur_frame_idx, frame, prev_T
+                    )
+                    self.n_pipelined += 1
+                    self._flush_pending()
+                    self._pending = (cur_frame_idx, frame, res, t0)
                     cur_frame_idx += 1
                     continue
 
-                last_keyframe_idx = self.current_window[0]
-                check_time = (
-                    cur_frame_idx - last_keyframe_idx
-                ) >= self.kf_interval
-                curr_visibility = np.asarray(res.n_touched) > 0
-                create_kf = is_keyframe(
-                    np.asarray(frame.T),
-                    np.asarray(self.cameras[last_keyframe_idx].T),
-                    self.median_depth,
-                    curr_visibility,
-                    self.occ_aware_visibility[last_keyframe_idx],
-                    self.kf_translation,
-                    self.kf_min_translation,
-                    self.kf_overlap,
-                )
-                if len(self.current_window) < self.window_size:
-                    ratio = overlap_ratio(
-                        curr_visibility,
-                        self.occ_aware_visibility[last_keyframe_idx],
-                    )
-                    create_kf = check_time and ratio < self.kf_overlap
-                if self.single_thread:
-                    create_kf = check_time and create_kf
-
-                if create_kf:
-                    poses = {
-                        idx: np.asarray(self.cameras[idx].T)
-                        for idx in self.current_window + [cur_frame_idx]
-                    }
-                    self.current_window, removed = add_to_window(
-                        cur_frame_idx, curr_visibility,
-                        self.occ_aware_visibility, self.current_window,
-                        poses, self.window_size, self.kf_cutoff,
-                        self.initialized,
-                    )
-                    if self.monocular and not self.initialized and removed is not None:
-                        self.reset = True
-                        Log(
-                            "Keyframes lacks sufficient overlap to initialize "
-                            "the map, resetting."
-                        )
-                        # do NOT advance: the same frame re-initializes the
-                        # map on the next loop pass (slam_frontend.py:1947-51)
-                        continue
-                    depth_map = self.add_new_keyframe(
-                        cur_frame_idx, depth=res.depth, opacity=res.opacity,
-                        init=False,
-                    )
-                    self.request_keyframe(
-                        cur_frame_idx, frame, self.current_window, depth_map
-                    )
-                else:
-                    self.cleanup(cur_frame_idx)
-
+                self._flush_pending()  # mode transition: drain before serial
+                res = self.tracking(cur_frame_idx, frame)
+                if not self._post_tracking(cur_frame_idx, frame, res):
+                    continue
                 cur_frame_idx += 1
-
-                if (
-                    self.save_results
-                    and self.save_trj
-                    and create_kf
-                    and len(self.kf_indices) % self.save_trj_kf_intv == 0
-                ):
-                    Log("Evaluating ATE at frame: ", cur_frame_idx)
-                    self.eval_ate_now(cur_frame_idx)
             else:
                 data = self.frontend_queue.get()
                 if data[0] == "sync_backend":
@@ -476,5 +544,8 @@ class FrontEnd:
                     self.sync_backend(data)
                     self.requested_init = False
                 elif data[0] == "stop":
+                    # record the in-flight pose but skip keyframe requests —
+                    # the backend is shutting down
+                    self._flush_pending(post=False)
                     Log("Frontend Stopped.")
                     break

@@ -91,6 +91,36 @@ def test_rgbd_slam_end_to_end(tmp_path):
 
 
 @pytest.mark.slow
+def test_rgbd_slam_threaded_pipelined():
+    """Threaded frontend/backend (single_thread: False) with the depth-1
+    tracking dispatch pipeline (Training.pipeline_tracking, default on):
+    frame i's fused tracking program is enqueued, seeded from frame i-1's
+    still-in-flight device pose, before the host syncs i-1. Same completion
+    and accuracy contract as the deterministic run; the bound is slightly
+    looser because the backend maps concurrently and keyframe sync points
+    land nondeterministically."""
+    cfg = tiny_config("depth")
+    cfg["Dataset"]["single_thread"] = False
+    cfg["Results"]["save_results"] = False
+    slam = SLAM(cfg, save_dir=None)
+    slam.run()
+
+    fe = slam.frontend
+    assert len(fe.cameras) == 12
+    assert len(fe.kf_indices) >= 2
+    assert fe._pending is None          # pipeline fully drained
+    assert fe.n_pipelined >= 1, "dispatch pipeline never engaged"
+    assert int(slam.backend.gaussians.n_active) > 500
+
+    from monogs_tpu.eval.ate import evaluate_ate
+
+    gt = [np.linalg.inv(np.asarray(fe.cameras[i].T_gt)) for i in fe.kf_indices]
+    est = [np.linalg.inv(np.asarray(fe.cameras[i].T)) for i in fe.kf_indices]
+    rmse, _ = evaluate_ate(gt, est, monocular=False)
+    assert rmse < 0.05, rmse
+
+
+@pytest.mark.slow
 def test_mono_slam_end_to_end(tmp_path):
     """Monocular pipeline: random-depth keyframe init, scale-free map,
     Sim(3)-aligned ATE, covisibility pruning. Thresholds are loose — mono
