@@ -292,22 +292,16 @@ def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
     )(tx0, ty0, d, pmat)
 
 
-def _bwd_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, gout_ref, dd_ref, *,
-                width: int, height: int, bt: int):
-    g = pl.program_id(0)
-    x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
-    y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
-    rows = dat_ref[:]
-    pmat = pmat_ref[:]
-    bsz, kf, _ = rows.shape
-    p = pmat.shape[1]
-    f = _batch_forward(rows, x0, y0, pmat, width, height)
-    g_outs = gout_ref[:]                                # [B, P, 8]
-
+def _dd_from_gouts(f, pmat, g_outs, bsz, kf):
+    """Reverse-blend: output cotangents [B, P, 8] -> row cotangents
+    [B, Kf, F]. Shared by the plain VJP kernel and the fused
+    loss-and-gradient kernel."""
     # go_p: [P, B*8] by lane-concat of per-tile cotangents
     go_p = jnp.concatenate([_ax(g_outs, b, 0) for b in range(bsz)], axis=1)
-    wbar = _dot3(_blockdiag(f["feats"]), go_p.T).reshape(bsz, kf, p)
-    fbar_full = _dot3(f["w"].reshape(bsz * kf, p), go_p)    # [B*Kf, B*8]
+    wbar = _dot3(_blockdiag(f["feats"]), go_p.T).reshape(
+        bsz, kf, go_p.shape[0]
+    )
+    fbar_full = _dot3(f["w"].reshape(bsz * kf, -1), go_p)   # [B*Kf, B*8]
     fbar = jnp.stack(
         [jax.lax.slice_in_dim(
             jax.lax.slice_in_dim(fbar_full, b * kf, (b + 1) * kf, axis=0),
@@ -322,7 +316,7 @@ def _bwd_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, gout_ref, dd_ref, *,
     live_a = f["ok"] & (f["alpha"] < 0.99)
     sbar = jnp.where(live_a, f["alpha"] * abar, 0.0)
 
-    Gbar = _dot3(sbar.reshape(bsz * kf, p), pmat.T).reshape(bsz, kf, 6)
+    Gbar = _dot3(sbar.reshape(bsz * kf, -1), pmat.T).reshape(bsz, kf, 6)
     a, bq, cc = f["a"], f["b"], f["c"]
     ul, vl = f["ul"], f["vl"]
     g0, g1, g2 = _col(Gbar, 0), _col(Gbar, 1), _col(Gbar, 2)
@@ -339,7 +333,114 @@ def _bwd_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, gout_ref, dd_ref, *,
     cols[_R0 + 1] = _col(fbar, 1)
     cols[_R0 + 2] = _col(fbar, 2)
     cols[_Z] = _col(fbar, 3)
-    dd_ref[:] = jnp.stack(cols, axis=-1)
+    return jnp.stack(cols, axis=-1)
+
+
+def _bwd_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, gout_ref, dd_ref, *,
+                width: int, height: int, bt: int):
+    g = pl.program_id(0)
+    x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
+    y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
+    rows = dat_ref[:]
+    pmat = pmat_ref[:]
+    bsz, kf, _ = rows.shape
+    f = _batch_forward(rows, x0, y0, pmat, width, height)
+    dd_ref[:] = _dd_from_gouts(f, pmat, gout_ref[:], bsz, kf)
+
+
+def _fo_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
+                    mask_ref, dd_ref, sums_ref, *, width: int, height: int,
+                    bt: int, use_huber: bool, delta: float, eps: float):
+    """Fused mono first-order step: primal blend + residual/Huber chain +
+    analytic output cotangents + reverse blend, in ONE pass.
+
+    Replaces (fwd kernel -> XLA residual AD -> bwd kernel), which paid two
+    full _batch_forward recomputes plus an HBM round trip of outs/g_outs per
+    first-order iteration. The loss's global normalizer sqrt(sum hub^2) is
+    applied OUTSIDE (dd here is d(sum hub^2)/d(rows); the caller scales by
+    0.5/loss), so per-tile work needs no cross-tile reduction.
+
+    sums_ref [B, 8] per-tile partials: (sum hub^2, sum |r|, d(sumsq)/d|ea|,
+    d(sumsq)/d(eb), 0...). Residual semantics = ops/losses
+    tracking_residual_rgb + huber_signed (slam_utils.py:58-75,188-205)."""
+    g = pl.program_id(0)
+    x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
+    y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
+    rows = dat_ref[:]
+    pmat = pmat_ref[:]
+    bsz, kf, _ = rows.shape
+    f = _batch_forward(rows, x0, y0, pmat, width, height)
+    outs = _outs_from(f["w"], f["feats"], bt)               # [B, P, 8]
+
+    col = _cols(outs, 0, 3)                                 # [B, P, 3]
+    acc = _cols(outs, 4, 5)                                 # [B, P, 1]
+    gt = gt_ref[:]                                          # [B, P, 3]
+    mk = mask_ref[:]                                        # [B, P, 1]
+    e = jnp.abs(sc_ref[0]) + eps
+    diff = e * col + sc_ref[1] - gt
+    am = acc * mk
+    r = am * diff
+    if use_huber:
+        ax = jnp.abs(r)
+        safe = jnp.sqrt(jnp.maximum(2.0 * delta * ax - delta * delta, 1e-20))
+        hub = jnp.where(ax < delta, r, jnp.sign(r) * safe)
+        slope = jnp.where(ax < delta, 1.0, delta / safe)
+    else:
+        hub, slope = r, jnp.ones_like(r)
+    rbar = 2.0 * hub * slope                                # d(sumsq)/dr
+
+    g_col = rbar * am * e                                   # [B, P, 3]
+    g_acc = jnp.sum(rbar * mk * diff, axis=-1, keepdims=True)
+    zero1 = jnp.zeros_like(g_acc)
+    g_outs = jnp.concatenate(
+        [g_col, zero1, g_acc, zero1, zero1, zero1], axis=-1
+    )                                                       # [B, P, 8]
+    dd_ref[:] = _dd_from_gouts(f, pmat, g_outs, bsz, kf)
+
+    sumsq = jnp.sum(hub * hub, axis=(1, 2))                 # [B]
+    l1 = jnp.sum(jnp.abs(r), axis=(1, 2))
+    gea = jnp.sum(rbar * am * col, axis=(1, 2))             # x sign(ea) outside
+    geb = jnp.sum(rbar * am, axis=(1, 2))
+    z = jnp.zeros_like(sumsq)
+    sums_ref[:] = jnp.stack([sumsq, l1, gea, geb, z, z, z, z], axis=-1)
+
+
+def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
+                         width: int, height: int, interpret: bool,
+                         use_huber: bool, delta: float, eps: float):
+    """Fused first-order loss + gradient over frozen lists (mono).
+
+    d: [Tf, Kf, F]; gt_t/mask_t: [Tf, P, 3]/[Tf, P, 1] tiled ground truth;
+    ea/eb: exposure scalars. Returns (dd [Tf, Kf, F] = d(sum hub^2)/d(d),
+    sums [Tf, 8] per-tile partials — see _fo_grad_kernel). NOT itself
+    differentiable; render_fo_grad_tiles assembles the full 8-dim gradient."""
+    n_tiles, kf, _ = d.shape
+    p = pmat.shape[1]
+    bt = _pick_bt(n_tiles)
+    sc = jnp.stack([ea, eb]).astype(jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_fo_grad_kernel, width=width, height=height,
+                          bt=bt, use_huber=use_huber, delta=delta, eps=eps),
+        grid=(n_tiles // bt,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
+            pl.BlockSpec((6, p), lambda g: (0, 0)),
+            pl.BlockSpec((bt, p, 3), lambda g: (g, 0, 0)),
+            pl.BlockSpec((bt, p, 1), lambda g: (g, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
+            pl.BlockSpec((bt, 8), lambda g: (g, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, kf, _F), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(tx0, ty0, sc, d, pmat, gt_t, mask_t)
 
 
 def _jvp8_kernel(tx0_ref, ty0_ref, dat_ref, tan_ref, pmat_ref,

@@ -813,6 +813,38 @@ def render_pose_jvp_tiles(
     )                                                   # [S,P,8],[S,6,P,8]
 
 
+def tile_rows(
+    gauss: GaussianArrays,
+    T_cw,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    lists_sub: TileLists,
+    tau=None,
+):
+    """Packed per-tile blend rows d [S, Kf, F] for a tile subset.
+
+    Gather-first preprocess + validity folded into the log-opacity column
+    (invalid rows get LOGO = -1e30, so they can never pass the alpha test) —
+    the front half of render_tiles's pallas_lists branch, factored out so
+    callers can jax.vjp over it directly: the fused first-order gradient
+    kernel consumes d and returns its cotangent (render_fo_grad_tiles)."""
+    T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    s_tiles, kf = lists_sub.idx.shape
+    fi = lists_sub.idx.reshape(-1)
+    prep = preprocess(
+        gauss.xyz[fi], gauss.log_scale[fi], gauss.quat[fi],
+        gauss.opa_logit[fi], gauss.sh[fi], gauss.active[fi], T_eff, intr,
+        sh_degree=cfg.sh_degree, near=cfg.near,
+    )
+    packed = _pack(prep)                                    # [S*Kf, F]
+    vld = lists_sub.vld & prep.valid.reshape(s_tiles, kf)
+    d = packed.reshape(s_tiles, kf, _F)                     # [S, Kf, F]
+    logo = jnp.where(vld, d[..., _LOGO], -1e30)
+    return jnp.concatenate(
+        [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
+    )
+
+
 def render_tiles(
     gauss: GaussianArrays,
     T_cw,
@@ -838,6 +870,23 @@ def render_tiles(
     duplicates) instead of N — and the pose-gradient VJP needs no scatter
     back into an [N]-shaped buffer at all.
     """
+    tile = cfg.tile
+    p = tile * tile
+    px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
+    py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px_local, py_local)
+    W, H = intr.width, intr.height
+
+    if cfg.backend == "pallas_lists":
+        assert cfg.k_fine % 16 == 0
+        from .pallas_lists import blend_lists_pallas
+
+        d = tile_rows(gauss, T_cw, intr, cfg, lists_sub, tau)
+        outs = blend_lists_pallas(
+            d, tx0s, ty0s, pmat, tile, W, H, cfg.pallas_interpret
+        )                                                   # [S, P, 8]
+        return outs[..., :3], outs[..., 3], outs[..., 4]
+
     T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
     s_tiles, kf = lists_sub.idx.shape
     fi = lists_sub.idx.reshape(-1)
@@ -847,28 +896,7 @@ def render_tiles(
         sh_degree=cfg.sh_degree, near=cfg.near,
     )
     packed = _pack(prep)                                    # [S*Kf, F]
-    tile = cfg.tile
-    p = tile * tile
-    px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
-    py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
-    pmat = _pixel_basis(px_local, py_local)
-    W, H = intr.width, intr.height
     vld = lists_sub.vld & prep.valid.reshape(s_tiles, kf)
-
-    if cfg.backend == "pallas_lists":
-        assert cfg.k_fine % 16 == 0
-        from .pallas_lists import blend_lists_pallas
-
-        d = packed.reshape(s_tiles, kf, _F)                 # [S, Kf, F]
-        logo = jnp.where(vld, d[..., _LOGO], -1e30)
-        d = jnp.concatenate(
-            [d[..., :_LOGO], logo[..., None], d[..., _LOGO + 1:]], axis=-1
-        )
-        outs = blend_lists_pallas(
-            d, tx0s, ty0s, pmat, tile, W, H, cfg.pallas_interpret
-        )                                                   # [S, P, 8]
-        return outs[..., :3], outs[..., 3], outs[..., 4]
-
     bg0 = jnp.zeros((3,), jnp.float32)
     d_all = packed.reshape(s_tiles, kf, _F)
 
@@ -884,6 +912,62 @@ def render_tiles(
         lambda d, v, x, y: jax.checkpoint(blend_tile)((d, v, x, y))
     )(d_all, vld, tx0s, ty0s)
     return colors, depths, accs
+
+
+def render_fo_grad_tiles(
+    gauss: GaussianArrays,
+    T_cw,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    lists_sub: TileLists,
+    tx0s,
+    ty0s,
+    tau,
+    ea,
+    eb,
+    gt_t,
+    mask_t,
+    use_huber: bool,
+    delta: float,
+):
+    """Fused mono first-order objective + full 8-dim gradient.
+
+    ONE Pallas pass computes the blend, the masked/exposed Huber residual,
+    the analytic output cotangents, and the reverse blend (fo_grad_lists_
+    pallas); the pose part of the gradient is then pulled back through the
+    XLA preprocess via jax.vjp over tile_rows. Semantics are exactly
+    value_and_grad of the tile first-order objective (slam/tracking.py
+    _fo_loss_tiles, mono branch; tested in test_pallas_lists).
+
+    Returns (loss, l1, g8) with l1 UNSCALED (caller applies the subset
+    unbiasing factor) and g8 = d(loss)/d[tau(6), ea, eb].
+    """
+    from .pallas_lists import fo_grad_lists_pallas
+    from ..ops.losses import EXPOSURE_EPS
+
+    tile = cfg.tile
+    p = tile * tile
+    px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
+    py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px_local, py_local)
+
+    d, pull = jax.vjp(
+        lambda t: tile_rows(gauss, T_cw, intr, cfg, lists_sub, t), tau
+    )
+    dd, sums = fo_grad_lists_pallas(
+        d, tx0s, ty0s, pmat, gt_t, mask_t, ea, eb, tile,
+        intr.width, intr.height, cfg.pallas_interpret, use_huber, delta,
+        EXPOSURE_EPS,
+    )
+    sumsq = jnp.sum(sums[:, 0])
+    l1 = jnp.sum(sums[:, 1])
+    loss = jnp.sqrt(sumsq + 1e-20)
+    c = 0.5 / loss                                  # d loss / d sumsq
+    g_tau = pull(dd * c)[0]
+    g_ea = c * jnp.sum(sums[:, 2]) * jnp.sign(ea)
+    g_eb = c * jnp.sum(sums[:, 3])
+    g8 = jnp.concatenate([g_tau, g_ea[None], g_eb[None]])
+    return loss, l1, g8
 
 
 def tile_images(img, intr: Intrinsics, cfg: RenderConfig):

@@ -100,6 +100,8 @@ def track_config_from_config(config) -> TrackConfig:
         rebin_so_iters=rgn.get("rebin_so_iters", 3),
         fo_tile_frac=rgn["first_order"].get("tile_frac", 1.0),
         so_tile_frac=rgn["second_order"].get("tile_frac", 1.0),
+        fo_fused=rgn["first_order"].get("fused_kernel", True),
+        final_refine=rgn.get("final_refine", True),
     )
 
 

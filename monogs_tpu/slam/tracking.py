@@ -92,6 +92,17 @@ class TrackConfig(NamedTuple):
     # system the same way (fast_so path only).
     fo_tile_frac: float = 1.0
     so_tile_frac: float = 1.0
+    # Use the fused Pallas fo loss+gradient kernel when eligible (mono +
+    # Huber + pallas_lists + fo tile subsampling): one kernel pass instead
+    # of fwd kernel + XLA residual AD + bwd kernel. Numerics match the AD
+    # path (test_fo_fused_grad_parity); escape hatch only.
+    fo_fused: bool = True
+    # Reuse the second-order phase's margin macro lists for the final
+    # n_touched render (fine-stage refine at the final pose instead of a
+    # full from-scratch rebinning). Exact per-tile selection; only the
+    # macro membership is frozen at the so phase-start pose, which the
+    # bin_margin already covers (test_refine_full_render_parity).
+    final_refine: bool = True
 
 
 class TrackState(NamedTuple):
@@ -365,12 +376,33 @@ def track_frame(
         )
         sub_scale = n_fine / n_sub
 
+    # fused loss+gradient kernel: eligible for the mono Huber objective on
+    # the pallas_lists subset path (RGB-D has two global sqrt normalizers,
+    # which would need two reverse chains per pass — it keeps AD)
+    fo_fused = (
+        fo_sub
+        and tcfg.fo_fused
+        and tcfg.monocular
+        and tcfg.use_huber
+        and cfg_track.backend == "pallas_lists"
+    )
+
     # ---------------- phase 1: first-order Adam ----------------
     def fo_cond(s: TrackState):
         return (s.i < tcfg.fo_max_iter) & jnp.logical_not(s.converged)
 
     def fo_body(s: TrackState):
-        if fo_sub:
+        if fo_fused:
+            from ..render.renderer import render_fo_grad_tiles
+
+            p = p0(s.ea, s.eb)
+            loss, l1, g = render_fo_grad_tiles(
+                gauss, s.T, intr, cfg_track, lists_sub, tx0s, ty0s,
+                p[:6], p[6], p[7], gt_t, mask_t,
+                tcfg.use_huber, tcfg.huber_delta,
+            )
+            l1 = l1 * sub_scale
+        elif fo_sub:
             (loss, l1), g = jax.value_and_grad(
                 lambda p: _fo_loss_tiles(
                     gauss, s.T, p, intr, cfg_track, tcfg, lists_sub,
@@ -604,8 +636,23 @@ def track_frame(
         last_l1 = s.prev_l1
 
     # final render with n_touched for keyframing / visibility (:1918) and
-    # median depth (:900)
-    out = render(gauss, T, intr, cfg)
+    # median depth (:900); with the fast path active, skip its from-scratch
+    # global binning by refining the so phase's frozen margin macro lists
+    # at the final pose (see TrackConfig.final_refine)
+    final_lists = None
+    if (
+        tcfg.final_refine
+        and tcfg.so_max_iter > 0
+        and fast_so
+        and so_aux is not None
+    ):
+        from ..render.renderer import refine_fine_lists as _refine
+
+        final_lists = _refine(
+            gauss, T, intr, cfg_track, so_aux,
+            jnp.arange(n_fine_so, dtype=jnp.int32),
+        )
+    out = render(gauss, T, intr, cfg, lists=final_lists)
     median_depth = losses.get_median_depth(out.depth, out.opacity)
     return TrackResult(
         T=T, ea=ea, eb=eb,

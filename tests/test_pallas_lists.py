@@ -183,6 +183,62 @@ def test_so_fast_step_matches_linearize():
     np.testing.assert_allclose(SJ, SJ_ref, rtol=2e-3, atol=2e-4)
 
 
+def test_fo_fused_grad_parity():
+    """render_fo_grad_tiles (fused Pallas fo loss+gradient kernel) matches
+    value_and_grad of the tile first-order objective (_fo_loss_tiles)
+    computed through the XLA blend — loss, unbiased L1, and all 8 gradient
+    components, over a strict tile subset with margin lists."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops import se3
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import (
+        TileLists, _tile_origins, render_fo_grad_tiles, tile_images,
+    )
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, _fo_loss_tiles
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=128,
+                       with_n_touched=False)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=900, seed=2,
+                          sensor_type="monocular", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, _, T_gt = ds[0]
+    frame = make_frame_data(img, None, 1.1, 0.01, "synthetic")
+    T = se3.se3_exp(0.004 * jax.random.normal(jax.random.PRNGKey(4), (6,))
+                    ) @ T_gt
+    tcfg = TrackConfig(monocular=True)
+    lists = build_tile_lists(ds.scene, T, intr, cfg, margin=8.0)
+    tx0, ty0 = _tile_origins(intr, cfg)
+    n_fine = tx0.shape[0]
+    tsel = jax.random.permutation(jax.random.PRNGKey(9), n_fine)[:16]
+    lists_sub = TileLists(idx=lists.idx[tsel], vld=lists.vld[tsel])
+    txs, tys = tx0[tsel], ty0[tsel]
+    gt_t = tile_images(frame.gt_image, intr, cfg)[tsel]
+    mask_t = tile_images(frame.mapping_mask, intr, cfg)[tsel]
+    scale = n_fine / 16.0
+    p = jnp.concatenate(
+        [0.001 * jnp.arange(6), jnp.float32(1.07)[None],
+         jnp.float32(0.015)[None]]
+    )
+
+    (loss_ref, l1_ref), g_ref = jax.value_and_grad(
+        lambda q: _fo_loss_tiles(ds.scene, T, q, intr, cfg, tcfg, lists_sub,
+                                 txs, tys, gt_t, mask_t, None, scale),
+        has_aux=True,
+    )(p)
+
+    cfg_pl = cfg._replace(backend="pallas_lists", pallas_interpret=True)
+    loss, l1, g = render_fo_grad_tiles(
+        ds.scene, T, intr, cfg_pl, lists_sub, txs, tys,
+        p[:6], p[6], p[7], gt_t, mask_t, tcfg.use_huber, tcfg.huber_delta,
+    )
+    np.testing.assert_allclose(loss, loss_ref, rtol=1e-4)
+    np.testing.assert_allclose(l1 * scale, l1_ref, rtol=1e-4)
+    np.testing.assert_allclose(g, g_ref, rtol=2e-3, atol=2e-6)
+
+
 def test_tracking_fast_path_converges():
     """Full track_frame with backend=pallas_lists (interpret) recovers a
     perturbed pose like the XLA path does."""
@@ -205,6 +261,40 @@ def test_tracking_fast_path_converges():
     tcfg = TrackConfig(monocular=True, fo_max_iter=30, so_max_iter=8,
                        lr_trans=0.002, lr_rot=0.006,
                        stack_dim=8, sketch_dim=64, bin_margin=8.0)
+    res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
+                      jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
+                      tcfg)
+    trans, _ = se3.pose_diff(res.T, T_gt)
+    trans0, _ = se3.pose_diff(T0, T_gt)
+    assert float(trans) < 0.3 * float(trans0), (float(trans), float(trans0))
+
+
+def test_tracking_fused_fo_converges():
+    """track_frame with fo tile subsampling on the pallas_lists backend —
+    the configuration that routes the first-order phase through the fused
+    loss+gradient kernel (TrackConfig.fo_fused) — recovers a perturbed pose.
+    Numerics of the kernel itself are pinned by test_fo_fused_grad_parity."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops import se3
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, track_frame
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=128,
+                       backend="pallas_lists", pallas_interpret=True)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=1200, seed=6,
+                          sensor_type="monocular", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, _, T_gt = ds[0]
+    frame = make_frame_data(img, None, 1.1, 0.01, "synthetic")
+    T0 = se3.se3_exp(0.008 * jax.random.normal(jax.random.PRNGKey(2), (6,))
+                     ) @ T_gt
+    tcfg = TrackConfig(monocular=True, fo_max_iter=30, so_max_iter=6,
+                       lr_trans=0.002, lr_rot=0.006,
+                       stack_dim=8, sketch_dim=64, bin_margin=8.0,
+                       fo_tile_frac=0.5, so_tile_frac=0.5,
+                       rebin_so_iters=2)
     res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
                       jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
                       tcfg)
@@ -363,6 +453,69 @@ def test_so_fast_step_rgbd_matches_linearize():
     np.testing.assert_allclose(l1, l1_ref, rtol=1e-4)
     np.testing.assert_allclose(Sf, Sf_ref, rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(SJ, SJ_ref, rtol=2e-3, atol=2e-4)
+
+
+def test_tracking_fast_path_rgbd_converges():
+    """Full RGB-D track_frame on the production fast path — pallas_lists
+    backend (interpret), frozen lists with margin, tile subsampling in both
+    phases, alpha-mixed photometric+depth residuals through fo AND so —
+    recovers a perturbed pose (end-to-end complement of the
+    _so_fast_step linearize parity test above)."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops import se3
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, track_frame
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=256,
+                       backend="pallas_lists", pallas_interpret=True)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=1500, seed=0,
+                          sensor_type="depth", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, dep, T_gt = ds[0]
+    frame = make_frame_data(img, dep, 1.1, 0.01, "synthetic")
+    T0 = se3.se3_exp(0.008 * jax.random.normal(jax.random.PRNGKey(1), (6,))
+                     ) @ T_gt
+    tcfg = TrackConfig(monocular=False, fo_max_iter=30, so_max_iter=8,
+                       lr_trans=0.002, lr_rot=0.006,
+                       stack_dim=8, sketch_dim=64, bin_margin=8.0,
+                       fo_tile_frac=0.5, so_tile_frac=0.5,
+                       rebin_so_iters=3)
+    res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
+                      jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
+                      tcfg)
+    trans, _ = se3.pose_diff(res.T, T_gt)
+    trans0, _ = se3.pose_diff(T0, T_gt)
+    assert float(trans) < 0.3 * float(trans0), (float(trans), float(trans0))
+
+
+def test_refine_full_render_parity():
+    """Final-render fast path (TrackConfig.final_refine): rendering with
+    lists refined from a margin macro build at a ~2px-moved pose matches a
+    from-scratch render at that pose — image, opacity, and n_touched."""
+    from monogs_tpu.ops import se3
+    from monogs_tpu.render import build_tile_lists, render
+    from monogs_tpu.render.renderer import refine_fine_lists, _tile_origins
+
+    gauss = make_scene(128, seed=11)
+    T0 = jnp.eye(4)
+    cfg = PAL._replace(with_n_touched=True)
+    _, aux = build_tile_lists(gauss, T0, INTR, cfg, margin=8.0,
+                              with_aux=True)
+    # ~2px of image motion at the scene depth
+    T1 = se3.se3_exp(jnp.array([0.01, -0.008, 0.0, 0.002, 0.0, 0.001])) @ T0
+    n_fine = _tile_origins(INTR, cfg)[0].shape[0]
+    lists_ref = refine_fine_lists(
+        gauss, T1, INTR, cfg, aux, jnp.arange(n_fine, dtype=jnp.int32)
+    )
+    a = render(gauss, T1, INTR, cfg)
+    b = render(gauss, T1, INTR, cfg, lists=lists_ref)
+    np.testing.assert_allclose(b.image, a.image, atol=1e-4)
+    np.testing.assert_allclose(b.opacity, a.opacity, atol=1e-4)
+    assert (
+        np.abs(np.asarray(b.n_touched) - np.asarray(a.n_touched)).max() <= 2
+    )
 
 
 def test_n_touched_parity():
