@@ -52,13 +52,15 @@ for i in range(N_FRAMES + 1):
 jax.block_until_ready(frames[-1].gt_image)
 
 
-def run_combo(fo, so, frac, k_fine, so_frac=None, rebin_iters=3):
+def run_combo(fo, so, frac, k_fine, so_frac=None, rebin_iters=3,
+              fo_fused=True, final_refine=True):
     cfg = BASE_CFG._replace(k_fine=k_fine)
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=fo, so_max_iter=so,
         stack_dim=16, sketch_dim=64, bin_margin=8.0,
         fo_tile_frac=frac, so_tile_frac=so_frac if so_frac else frac,
-        rebin_so_iters=rebin_iters,
+        rebin_so_iters=rebin_iters, fo_fused=fo_fused,
+        final_refine=final_refine,
     )
 
     def one(i):
@@ -76,10 +78,11 @@ def run_combo(fo, so, frac, k_fine, so_frac=None, rebin_iters=3):
         ts.append(time.time() - t0)
         errs.append(float(se3.pose_diff(r.T, poses[i + 1])[0]) * 1000)
     ms = float(np.median(ts)) * 1000
+    tag = ("" if fo_fused else " nofuse") + ("" if final_refine else " norefine")
     print(f"fo={fo:3d} so={so:2d} frac={frac:.3f} so_frac="
           f"{so_frac if so_frac else frac:.3f} kf={k_fine:3d} "
           f"rebin={rebin_iters} | {ms:7.1f} ms/frame ({1000/ms:5.2f} fps) | "
-          f"err mean {np.mean(errs):5.2f} max {np.max(errs):5.2f} mm",
+          f"err mean {np.mean(errs):5.2f} max {np.max(errs):5.2f} mm{tag}",
         flush=True)
     return ms, float(np.mean(errs)), float(np.max(errs))
 
@@ -88,7 +91,15 @@ mode = sys.argv[1] if len(sys.argv) > 1 else "quick"
 print(f"[sweep:{mode}] {N_FRAMES} frames, 640x480, 100k gaussians",
       flush=True)
 
-if mode == "quick":
+if mode == "ab":
+    # fused-fo-kernel / final-refine A/B at the bench config (r2)
+    combos = [
+        (40, 10, 0.25, 96, None, 3, True, True),
+        (40, 10, 0.25, 96, None, 3, False, True),
+        (40, 10, 0.25, 96, None, 3, True, False),
+        (40, 10, 0.25, 96, None, 3, False, False),
+    ]
+elif mode == "quick":
     combos = [
         (40, 10, 0.25, 96, None, 3),   # bench r1 baseline
         (30, 8, 0.25, 96, None, 3),
