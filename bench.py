@@ -116,8 +116,33 @@ def main():
 
     print("[bench] compiling tracking program...", file=sys.stderr, flush=True)
     t0 = time.time()
-    res = one(0, poses[0])
-    jax.block_until_ready(res.T)
+    # insurance against a Mosaic-only failure in the round-2 kernels (they
+    # are CPU-interpret-tested but the TPU compiler is stricter): fall back
+    # stepwise toward the round-1-proven configuration rather than losing
+    # the headline number. Tier 1 drops the fused fo kernel + final-refine;
+    # tier 2 additionally drops the n_touched counts kernel (the final
+    # render then reports zeros, which the bench does not consume).
+    fallbacks = [
+        ("fo_fused/final_refine off",
+         dict(tcfg=dict(fo_fused=False, final_refine=False))),
+        ("n_touched counts kernel off too",
+         dict(tcfg=dict(fo_fused=False, final_refine=False),
+              cfg=dict(with_n_touched=False))),
+    ]
+    while True:
+        try:
+            res = one(0, poses[0])
+            jax.block_until_ready(res.T)
+            break
+        except Exception as e:
+            if not fallbacks:
+                raise
+            name, repl = fallbacks.pop(0)
+            print(f"[bench] tracking compile failed "
+                  f"({type(e).__name__}: {e}); retrying with {name}",
+                  file=sys.stderr, flush=True)
+            tcfg = tcfg._replace(**repl.get("tcfg", {}))
+            cfg = cfg._replace(**repl.get("cfg", {}))
     print(f"[bench] compile+first frame: {time.time()-t0:.1f}s",
           file=sys.stderr, flush=True)
 

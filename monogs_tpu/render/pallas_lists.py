@@ -397,12 +397,17 @@ def _fo_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
     )                                                       # [B, P, 8]
     dd_ref[:] = _dd_from_gouts(f, pmat, g_outs, bsz, kf)
 
-    sumsq = jnp.sum(hub * hub, axis=(1, 2))                 # [B]
-    l1 = jnp.sum(jnp.abs(r), axis=(1, 2))
-    gea = jnp.sum(rbar * am * col, axis=(1, 2))             # x sign(ea) outside
-    geb = jnp.sum(rbar * am, axis=(1, 2))
+    def tile_sum(x):                                        # [B,P,C] -> [B,1]
+        return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
+
+    sumsq = tile_sum(hub * hub)
+    l1 = tile_sum(jnp.abs(r))
+    gea = tile_sum(rbar * am * col)                         # x sign(ea) outside
+    geb = tile_sum(rbar * am)
     z = jnp.zeros_like(sumsq)
-    sums_ref[:] = jnp.stack([sumsq, l1, gea, geb, z, z, z, z], axis=-1)
+    sums_ref[:] = jnp.concatenate(
+        [sumsq, l1, gea, geb, z, z, z, z], axis=1
+    )
 
 
 def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,

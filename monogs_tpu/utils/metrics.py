@@ -47,6 +47,15 @@ class MetricsLogger:
             ) as f:
                 json.dump({"columns": columns, "data": rows}, f, indent=2,
                           default=float)
+        if self._wandb is not None:
+            try:
+                import wandb
+
+                self._wandb.log(
+                    {name: wandb.Table(columns=columns, data=rows)}
+                )
+            except Exception:
+                pass
 
     def finish(self):
         if self._wandb is not None:

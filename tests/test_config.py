@@ -46,3 +46,42 @@ def test_synthetic_config_loads():
     cfg = load_config(os.path.join(REPO, "configs/synthetic/rgbd.yaml"))
     assert cfg["Dataset"]["type"] == "synthetic"
     assert cfg["Renderer"]["map_capacity"] == 65536
+
+
+def test_fast_path_knobs_plumbed_from_yaml():
+    """The bench-validated fast-path knobs must be reachable from YAML
+    (round-1 gap: bench.py hand-built its TrackConfig while slam.py could
+    not express so_tile_frac/rebin_so_iters at all)."""
+    from monogs_tpu.slam.runtime import (
+        render_config_from_config, track_config_from_config,
+    )
+
+    cfg = load_config(os.path.join(REPO, "configs/mono/tum/fr3_office.yaml"))
+    # SLAM.__init__ derives Training.monocular from the sensor type before
+    # building the TrackConfig (runtime.py)
+    cfg["Training"]["monocular"] = cfg["Dataset"]["sensor_type"] == "monocular"
+    tcfg = track_config_from_config(cfg)
+    assert tcfg.bin_margin == 8
+    assert tcfg.fo_tile_frac == 0.25
+    assert tcfg.so_tile_frac == 0.25
+    assert tcfg.fo_fused and tcfg.final_refine
+    from monogs_tpu.render import Intrinsics
+
+    cal = cfg["Dataset"]["Calibration"]
+    intr = Intrinsics(fx=cal["fx"], fy=cal["fy"], cx=cal["cx"], cy=cal["cy"],
+                      width=cal["width"], height=cal["height"])
+    rcfg = render_config_from_config(cfg, intr)
+    # on CPU the backend falls back to the XLA blend; the YAML asks for
+    # the Pallas fast path either way
+    assert cfg["Renderer"]["backend"] == "pallas_lists"
+    assert rcfg.k_fine == cfg["Renderer"]["k_fine"]
+
+
+def test_multichip_config_loads():
+    cfg = load_config(
+        os.path.join(REPO, "configs/synthetic/rgbd_multichip.yaml")
+    )
+    assert cfg["Parallel"]["n_devices"] == 4
+    # inherits the full synthetic rgbd stack
+    assert cfg["Dataset"]["type"] == "synthetic"
+    assert cfg["Training"]["RGN"]["use_huber"] is True
