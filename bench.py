@@ -41,7 +41,11 @@ def main():
     import numpy as np
 
     import monogs_tpu
+    from monogs_tpu.utils.relay import ensure_live_backend
 
+    # fail FAST with a diagnostic if the TPU relay is dead — jax.devices()
+    # would otherwise hang forever and the bench would record nothing
+    ensure_live_backend(fallback="error")
     monogs_tpu.enable_compilation_cache()
     from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose
     from monogs_tpu.ops import se3
@@ -274,6 +278,12 @@ def bench_slam_fps(n_frames=32):
     cfg["Results"]["eval_rendering"] = False
     cfg["Results"]["use_gui"] = False
     cfg["Results"]["use_wandb"] = False
+    # orbit_pose(i/n_frames) covers the FULL orbit whatever n_frames is, so
+    # trimming 64 -> 32 frames would double the per-frame motion unless the
+    # amplitudes shrink with it (same trap scripts/verify_e2e.py documents)
+    stock = cfg["Dataset"]["synthetic"]["n_frames"]
+    cfg["Dataset"]["synthetic"]["trans_amp"] *= n_frames / stock
+    cfg["Dataset"]["synthetic"]["rot_amp"] *= n_frames / stock
     cfg["Dataset"]["synthetic"]["n_frames"] = n_frames
     slam = SLAM(cfg, save_dir=None)
     res = slam.run()

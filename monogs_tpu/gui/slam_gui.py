@@ -224,9 +224,10 @@ def _map3d_view(state: _State, yaw, pitch, dist, mode, scale):
     if _render_jit is None:
         from ..render import render
 
-        _render_jit = jax.jit(
-            render, static_argnames=("intr", "cfg", "scale_modifier")
-        )
+        # scale_modifier is plain traced arithmetic (primitives.py:47);
+        # keeping it traced means dragging the GUI scale slider reuses ONE
+        # compiled render instead of recompiling per slider value
+        _render_jit = jax.jit(render, static_argnames=("intr", "cfg"))
 
     p = state.params
     with state.lock:
@@ -254,7 +255,7 @@ def _map3d_view(state: _State, yaw, pitch, dist, mode, scale):
     out = _render_jit(
         gv, jnp.asarray(T_view), p.intr,
         p.render_cfg._replace(with_n_touched=False),
-        scale_modifier=float(scale),
+        scale_modifier=jnp.float32(scale),
     )
     if mode == "depth":
         img = _turbo(np.asarray(out.depth[0]))

@@ -250,8 +250,10 @@ class FrontEnd:
         frame.exposure_b = res.eb
 
         # override / replay (slam_frontend.py:756-813)
+        overridden = False
         if self.override_mode == "gt":
             frame.T = frame.T_gt
+            overridden = True
         elif self.override_mode in ("first", "best"):
             rec = self.override_data.get(cur_frame_idx)
             if rec is not None and "pose" in rec:
@@ -263,6 +265,26 @@ class FrontEnd:
                     if "exposure_a" in rec:
                         frame.exposure_a = jnp.float32(rec["exposure_a"])
                         frame.exposure_b = jnp.float32(rec["exposure_b"])
+                    overridden = True
+        if overridden:
+            # re-render at the overridden pose (the reference re-renders
+            # after replacing the pose, slam_frontend.py:795-813): the
+            # keyframe depth map, visibility gating, and median depth must
+            # describe the pose the system adopts, not the drifted tracked
+            # one. Pose/exposure/loss fields stay the tracker's own output
+            # so the profile log of a replay run remains replayable.
+            from ..ops.losses import get_median_depth
+            from ..render import render as _render
+
+            out = _render(
+                self.gaussians.render_view(), frame.T, self.intr,
+                self.render_cfg,
+            )
+            res = res._replace(
+                image=out.image, depth=out.depth, opacity=out.opacity,
+                n_touched=out.n_touched,
+                median_depth=get_median_depth(out.depth, out.opacity),
+            )
 
         self.median_depth = float(res.median_depth)
         self.timers.add("tracking", elapsed)

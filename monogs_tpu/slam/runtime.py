@@ -132,6 +132,10 @@ def map_config_from_config(config, cameras_extent: float = 6.0) -> MapConfig:
         init_gaussian_extent=cameras_extent * tr["init_gaussian_extent"],
         densify_from_iter=opt["densify_from_iter"],
         lambda_dssim=opt["lambda_dssim"],
+        # mapping's frozen per-view tile lists (MapConfig docstring): margin
+        # in pixels (0 disables the frozen-list reuse) and rebuild cadence
+        bin_margin=config.get("Renderer", {}).get("mapping_bin_margin", 4.0),
+        rebin_every=config.get("Renderer", {}).get("mapping_rebin_every", 25),
     )
 
 

@@ -104,12 +104,22 @@ def load_profile_logs(logdir: str) -> dict:
     load_data over run-frame*.pt); records carry whatever fields were logged
     (pose [4,4], exposure_a/b, last_l1, tracking_ms, ...). Used by the
     tracking override/replay modes (slam_frontend.py:106-110, 756-813) and
-    the offline analysis plots."""
+    the offline analysis plots (processing/utils.py delegates here — keep
+    this the single loader for the run-frame npz layout). allow_pickle
+    because ProfileLogger.flush can fall back to object arrays for fields
+    that don't stack; the logs are this run's own local artifacts."""
     import glob
 
     out: dict[int, dict] = {}
-    for fname in sorted(glob.glob(os.path.join(logdir, "run-frame*.npz"))):
-        with np.load(fname, allow_pickle=False) as z:
+    names = sorted(
+        glob.glob(os.path.join(logdir, "run-frame*.npz"))
+        # ProfileLogger writes under log_basedir/<timestamp>/ — accept the
+        # base dir too (one level down), so override.first_logdir can point
+        # at either
+        or glob.glob(os.path.join(logdir, "*", "run-frame*.npz"))
+    )
+    for fname in names:
+        with np.load(fname, allow_pickle=True) as z:
             keys = list(z.keys())
             frames = z["frame"]
             for i, fi in enumerate(np.asarray(frames, np.int64)):

@@ -7,21 +7,19 @@ Returns {frame_idx: record-dict}.
 
 from __future__ import annotations
 
-import glob
 import os
-
-import numpy as np
 
 
 def load_data(logdir: str) -> dict:
-    data = {}
-    for path in sorted(glob.glob(os.path.join(logdir, "run-frame*.npz"))):
-        with np.load(path, allow_pickle=True) as z:
-            n = len(z["frame"])
-            for i in range(n):
-                rec = {k: z[k][i] for k in z.files}
-                data[int(rec["frame"])] = rec
-    return data
+    """Delegates to the package's canonical loader so the npz layout has
+    exactly one consumer-side implementation (the override/replay modes use
+    the same one)."""
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from monogs_tpu.utils.profiling import load_profile_logs
+
+    return load_profile_logs(logdir)
 
 
 def load_results(run_dirs):

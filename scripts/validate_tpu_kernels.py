@@ -24,7 +24,10 @@ import jax.numpy as jnp
 import numpy as np
 
 import monogs_tpu
+from monogs_tpu.utils.relay import ensure_live_backend
 
+# hardware validation is pointless without the relay: fail fast, don't hang
+ensure_live_backend(fallback="cpu" if "--small" in sys.argv else "error")
 monogs_tpu.enable_compilation_cache()
 
 from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose

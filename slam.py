@@ -20,7 +20,11 @@ import monogs_tpu
 from monogs_tpu.slam.config import load_config
 from monogs_tpu.slam.runtime import SLAM
 from monogs_tpu.utils.logging import Log
+from monogs_tpu.utils.relay import ensure_live_backend
 
+# a dead TPU relay makes the first jax.devices() hang forever; degrade to
+# CPU loudly instead (must run before any backend init)
+ensure_live_backend(fallback="cpu")
 monogs_tpu.enable_compilation_cache()
 
 

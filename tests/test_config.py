@@ -76,6 +76,14 @@ def test_fast_path_knobs_plumbed_from_yaml():
     assert cfg["Renderer"]["backend"] == "pallas_lists"
     assert rcfg.k_fine == cfg["Renderer"]["k_fine"]
 
+    # mapping's frozen-list knobs follow the same contract
+    from monogs_tpu.slam.runtime import map_config_from_config
+
+    cfg["Renderer"]["mapping_bin_margin"] = 6.0
+    cfg["Renderer"]["mapping_rebin_every"] = 10
+    mcfg = map_config_from_config(cfg)
+    assert mcfg.bin_margin == 6.0 and mcfg.rebin_every == 10
+
 
 def test_multichip_config_loads():
     cfg = load_config(

@@ -121,6 +121,66 @@ def test_rgbd_slam_threaded_pipelined():
 
 
 @pytest.mark.slow
+def test_override_replay_modes(tmp_path):
+    """Tracking override/replay (slam_frontend.py:106-110, 756-813): a gt
+    override must adopt ground-truth poses (and re-render keyframe inputs at
+    the adopted pose); a 'first' replay over a logged run must reproduce the
+    logged trajectory."""
+    import jax.numpy as jnp
+
+    # 1) logged baseline run
+    cfg = tiny_config("depth")
+    cfg["Dataset"]["synthetic"]["n_frames"] = 8
+    cfg["Results"]["save_results"] = False
+    cfg["Training"]["RGN"]["log_output"] = True
+    cfg["Training"]["RGN"]["save_period"] = 1
+    logdir = str(tmp_path / "baseline")   # logger writes <basedir>/<stamp>/
+    cfg["Training"]["RGN"]["log_basedir"] = logdir
+    slam = SLAM(cfg, save_dir=None)
+    slam.run()
+    base_T = {i: np.asarray(slam.frontend.cameras[i].T) for i in range(8)}
+
+    from monogs_tpu.utils.profiling import load_profile_logs
+
+    logs = load_profile_logs(logdir)
+    assert len(logs) >= 7, f"profile logs missing: {sorted(logs)}"
+
+    # 2) gt override: adopted poses are exactly ground truth
+    cfg_gt = tiny_config("depth")
+    cfg_gt["Dataset"]["synthetic"]["n_frames"] = 8
+    cfg_gt["Results"]["save_results"] = False
+    cfg_gt["Training"]["RGN"]["override"] = {"mode": "gt"}
+    slam_gt = SLAM(cfg_gt, save_dir=None)
+    slam_gt.run()
+    fe = slam_gt.frontend
+    for i in range(1, 8):
+        if i in fe.kf_indices:
+            continue  # keyframe poses are later refined by mapping BA
+        np.testing.assert_allclose(
+            np.asarray(fe.cameras[i].T), np.asarray(fe.cameras[i].T_gt),
+            atol=1e-6,
+        )
+
+    # 3) 'first' replay of the logged run reproduces its poses
+    cfg_rp = tiny_config("depth")
+    cfg_rp["Dataset"]["synthetic"]["n_frames"] = 8
+    cfg_rp["Results"]["save_results"] = False
+    cfg_rp["Training"]["RGN"]["override"] = {
+        "mode": "first", "first_logdir": logdir,
+    }
+    slam_rp = SLAM(cfg_rp, save_dir=None)
+    slam_rp.run()
+    for i in range(1, 8):
+        if i in slam_rp.frontend.kf_indices:
+            continue  # keyframe poses are later refined by mapping BA
+        np.testing.assert_allclose(
+            np.asarray(slam_rp.frontend.cameras[i].T),
+            np.asarray(logs[i]["pose"]), atol=1e-5,
+        )
+    del base_T  # baseline poses only anchor the log sanity check above
+
+
+@pytest.mark.slow
 def test_mono_slam_end_to_end(tmp_path):
     """Monocular pipeline: random-depth keyframe init, scale-free map,
     Sim(3)-aligned ATE, covisibility pruning. Thresholds are loose — mono
