@@ -164,3 +164,37 @@ def test_sharded_map_iters_matches_single_device():
     np.testing.assert_allclose(
         np.asarray(ka4[0]), np.asarray(ka1[0]), atol=1e-6,
     )
+
+
+def test_slam_e2e_sharded_mapping():
+    """Full SLAM run with the backend's mapping step sharded over a
+    2-device mesh (config path: Parallel.n_devices -> BackEnd._map_iters ->
+    sharded_map_iters). Same completion/accuracy contract as the
+    single-device rgbd e2e — exercises keyframe staging, densify/prune, and
+    the kf-Adam carry under shard_map inside the real pipeline."""
+    import numpy as np
+    import pytest
+
+    pytest.importorskip("yaml")
+    from test_slam_e2e import tiny_config
+
+    from monogs_tpu.slam.runtime import SLAM
+
+    cfg = tiny_config("depth")
+    cfg["Dataset"]["synthetic"]["n_frames"] = 8
+    cfg["Results"]["save_results"] = False
+    cfg["Parallel"] = {"n_devices": 2}
+    slam = SLAM(cfg, save_dir=None)
+    slam.run()
+
+    fe = slam.frontend
+    assert len(fe.cameras) == 8
+    assert len(fe.kf_indices) >= 2
+    assert int(slam.backend.gaussians.n_active) > 500
+
+    from monogs_tpu.eval.ate import evaluate_ate
+
+    gt = [np.linalg.inv(np.asarray(fe.cameras[i].T_gt)) for i in fe.kf_indices]
+    est = [np.linalg.inv(np.asarray(fe.cameras[i].T)) for i in fe.kf_indices]
+    rmse, _ = evaluate_ate(gt, est, monocular=False)
+    assert rmse < 0.03, rmse
