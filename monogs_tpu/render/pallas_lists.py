@@ -405,9 +405,12 @@ def _fo_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
     gea = tile_sum(rbar * am * col)                         # x sign(ea) outside
     geb = tile_sum(rbar * am)
     z = jnp.zeros_like(sumsq)
+    # sums is emitted [1, bt, 8] (3-D) so its block's last two dims equal the
+    # full array dims — a [bt, 8] 2-D block with bt<8 violates Mosaic's
+    # sublane divisibility rule
     sums_ref[:] = jnp.concatenate(
         [sumsq, l1, gea, geb, z, z, z, z], axis=1
-    )
+    )[None]
 
 
 def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
@@ -421,9 +424,12 @@ def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
     differentiable; render_fo_grad_tiles assembles the full 8-dim gradient."""
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
-    bt = _pick_bt(n_tiles)
+    # bt=8 OOMs the 16M scoped-VMEM limit at Kf=96 (17.67M, measured on v5e:
+    # this kernel holds the forward chain AND the reverse-blend temporaries
+    # alive together); bt=4 halves the [bt*Kf, P] intermediates and fits.
+    bt = _pick_bt(n_tiles, want=4)
     sc = jnp.stack([ea, eb]).astype(jnp.float32)
-    return pl.pallas_call(
+    dd, sums = pl.pallas_call(
         functools.partial(_fo_grad_kernel, width=width, height=height,
                           bt=bt, use_huber=use_huber, delta=delta, eps=eps),
         grid=(n_tiles // bt,),
@@ -438,14 +444,15 @@ def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
         ],
         out_specs=[
             pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
-            pl.BlockSpec((bt, 8), lambda g: (g, 0)),
+            pl.BlockSpec((1, bt, 8), lambda g: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, kf, _F), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 8), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles // bt, bt, 8), jnp.float32),
         ],
         interpret=interpret,
     )(tx0, ty0, sc, d, pmat, gt_t, mask_t)
+    return dd, sums.reshape(n_tiles, 8)
 
 
 def _jvp8_kernel(tx0_ref, ty0_ref, dat_ref, tan_ref, pmat_ref,
