@@ -10,9 +10,19 @@ branches use jnp.where with safe denominators instead of Python conditionals.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 _SMALL = 1e-5
+
+
+def _mm(a, b):
+    """4x4/3x3 pose-composition matmul at exact f32 precision. The TPU
+    default single-pass bf16 matmul would quantize O(1) pose entries to
+    ~4e-3 absolute (= mm-to-cm translation error, ~0.2 deg rotation) —
+    measured on v5e via the bench seed function. These matrices are tiny,
+    so HIGHEST costs nothing."""
+    return jnp.matmul(a, b, precision=jax.lax.Precision.HIGHEST)
 
 
 def skew(v):
@@ -65,7 +75,7 @@ def so3_exp(theta):
     """Rodrigues' formula. theta: (..., 3) -> (..., 3, 3)."""
     angle2 = jnp.sum(theta * theta, axis=-1)
     W = skew(theta)
-    W2 = W @ W
+    W2 = _mm(W, W)
     a = _sin_over_x(angle2)[..., None, None]
     b = _one_minus_cos_over_x2(angle2)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=theta.dtype), W.shape)
@@ -76,7 +86,7 @@ def so3_left_jacobian(theta):
     """V(theta): integrates translation under rotation (pose_utils.py:44-59)."""
     angle2 = jnp.sum(theta * theta, axis=-1)
     W = skew(theta)
-    W2 = W @ W
+    W2 = _mm(W, W)
     b = _one_minus_cos_over_x2(angle2)[..., None, None]
     c = _x_minus_sin_over_x3(angle2)[..., None, None]
     eye = jnp.broadcast_to(jnp.eye(3, dtype=theta.dtype), W.shape)
@@ -111,7 +121,7 @@ def se3_inverse(T):
 
 def retract(T, tau):
     """Left-multiplicative retraction: Exp(tau) @ T (pose_utils.py:88-98)."""
-    return se3_exp(tau) @ T
+    return _mm(se3_exp(tau), T)
 
 
 def quat_to_rotmat(q):
@@ -149,13 +159,16 @@ def pose_diff(P1, P2):
     Mirrors pose_utils.py:107-119.
     """
     trans = jnp.linalg.norm(P1[:3, 3] - P2[:3, 3])
-    dR = P1[:3, :3] @ P2[:3, :3].T
+    # HIGHEST: this runs eagerly on TPU in metric reporting; the default
+    # bf16 pass adds ~0.1 deg of noise to the angle, swamping mm-level errors
+    dR = jnp.matmul(P1[:3, :3], P2[:3, :3].T,
+                    precision=jax.lax.Precision.HIGHEST)
     cos_theta = jnp.clip((jnp.trace(dR) - 1.0) / 2.0, -1.0, 1.0)
     return trans, jnp.arccos(cos_theta)
 
 
 def relative_pose_error(P1_gt, P2_gt, P1, P2):
     """Relative pose error between frame pairs (pose_utils.py:100-104)."""
-    dP_gt = se3_inverse(P1_gt) @ P2_gt
-    dP = se3_inverse(P1) @ P2
+    dP_gt = _mm(se3_inverse(P1_gt), P2_gt)
+    dP = _mm(se3_inverse(P1), P2)
     return pose_diff(dP_gt, dP)

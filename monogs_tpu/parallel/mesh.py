@@ -120,7 +120,7 @@ def sharded_map_step(
              jnp.tile(cams_local.opt_exposure[:, None], (1, 2))], axis=-1,
         )
         d8 = jnp.where(opt, -lr8 * g8, 0.0)
-        newT = jax.vmap(lambda T, d: se3.se3_exp(d) @ T)(
+        newT = jax.vmap(lambda T, d: se3.retract(T, d))(
             cams_local.T, d8[:, :6]
         )
         cams_out = cams_local._replace(

@@ -60,9 +60,17 @@ from .renderer import (
 )
 
 
-def _pick_bt(n_tiles: int, want: int = 8) -> int:
-    for bt in (want, 8, 4, 2, 1):
-        if bt <= want and n_tiles % bt == 0:
+def _pick_bt(n_tiles: int, kf: int = 96, want: int = 8) -> int:
+    """Tile-batch (block) size for the list kernels.
+
+    Every kernel's scoped-VMEM footprint scales ~ bt*kf (the [bt*Kf, P]
+    blend intermediates dominate). The per-kernel `want` values are
+    calibrated at Kf=96 (measured fits on v5e, 16M scoped limit), so the
+    cap shrinks proportionally for larger list capacities — mapping
+    configs run kf up to 512, which OOMed at the kf=96-calibrated bt."""
+    cap = max(1, (want * 96) // max(kf, 1))
+    for bt in (8, 4, 2, 1):
+        if bt <= min(want, cap) and n_tiles % bt == 0:
             return bt
     return 1
 
@@ -257,8 +265,13 @@ def _fwd_counts_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, outs_ref,
     f = _batch_forward(dat_ref[:], x0, y0, pmat_ref[:], width, height)
     outs_ref[:] = _outs_from(f["w"], f["feats"], bt)
     # contributing-pixel count per row (the CUDA kernel's n_touched);
-    # exact in f32 (sums of <= P ones)
-    cnt_ref[:] = jnp.sum(f["contrib"].astype(jnp.float32), axis=2)
+    # exact in f32 (sums of <= P ones). Emitted [bt, 1, kf]: a 2-D
+    # [bt, kf] block is only Mosaic-legal when bt % 8 == 0, but large-kf
+    # configs need small bt for VMEM (see _pick_bt); with the unit middle
+    # dim the block's last two dims equal the array's and any bt is legal.
+    cnt_ref[:] = jnp.expand_dims(
+        jnp.sum(f["contrib"].astype(jnp.float32), axis=2), 1
+    )
 
 
 def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
@@ -269,8 +282,8 @@ def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
     differentiated."""
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
-    bt = _pick_bt(n_tiles)
-    return pl.pallas_call(
+    bt = _pick_bt(n_tiles, kf)
+    outs, cnts = pl.pallas_call(
         functools.partial(_fwd_counts_kernel, width=width, height=height,
                           bt=bt),
         grid=(n_tiles // bt,),
@@ -282,14 +295,15 @@ def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
         ],
         out_specs=[
             pl.BlockSpec((bt, p, 8), lambda g: (g, 0, 0)),
-            pl.BlockSpec((bt, kf), lambda g: (g, 0)),
+            pl.BlockSpec((bt, 1, kf), lambda g: (g, 0, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((n_tiles, p, 8), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, kf), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, 1, kf), jnp.float32),
         ],
         interpret=interpret,
     )(tx0, ty0, d, pmat)
+    return outs, cnts.reshape(n_tiles, kf)
 
 
 def _dd_from_gouts(f, pmat, g_outs, bsz, kf):
@@ -427,7 +441,7 @@ def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
     # bt=8 OOMs the 16M scoped-VMEM limit at Kf=96 (17.67M, measured on v5e:
     # this kernel holds the forward chain AND the reverse-blend temporaries
     # alive together); bt=4 halves the [bt*Kf, P] intermediates and fits.
-    bt = _pick_bt(n_tiles, want=4)
+    bt = _pick_bt(n_tiles, kf, want=4)
     sc = jnp.stack([ea, eb]).astype(jnp.float32)
     dd, sums = pl.pallas_call(
         functools.partial(_fo_grad_kernel, width=width, height=height,
@@ -538,7 +552,7 @@ def blend_lists_pallas(d, tx0, ty0, pmat, tile: int, width: int, height: int,
 def _fwd(d, tx0, ty0, pmat, tile, width, height, interpret):
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
-    bt = _pick_bt(n_tiles)
+    bt = _pick_bt(n_tiles, kf)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, width=width, height=height, bt=bt),
         grid=(n_tiles // bt,),
@@ -563,7 +577,7 @@ def _vjp_bwd(tile, width, height, interpret, res, g_outs):
     d, tx0, ty0, pmat = res
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
-    bt = _pick_bt(n_tiles)
+    bt = _pick_bt(n_tiles, kf)
     dd = pl.pallas_call(
         functools.partial(_bwd_kernel, width=width, height=height, bt=bt),
         grid=(n_tiles // bt,),
@@ -597,7 +611,7 @@ def blend_lists_jvp8(d, d_tan, tx0, ty0, pmat, tile: int, width: int,
     p = pmat.shape[1]
     # n_tan tangent pushforwards multiply the kernel's live VMEM by ~n_tan;
     # bt=2 at Kf=96/P=256 measured 11M scoped (bt=4 OOMed the 16M limit)
-    bt = _pick_bt(n_tiles, want=2)
+    bt = _pick_bt(n_tiles, kf, want=2)
     return pl.pallas_call(
         functools.partial(_jvp8_kernel, width=width, height=height,
                           bt=bt, n_tan=n_tan),

@@ -381,7 +381,7 @@ def build_tile_lists(
     TileLists). Entirely non-differentiable. With `tsel` only those fine
     tiles' lists are built (S-row result, tsel order). with_aux=True also
     returns the macro-stage _BinAux for refine_fine_lists."""
-    T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    T_eff = se3.retract(T_cw, tau) if tau is not None else T_cw
     prep = preprocess(
         gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit, gauss.sh,
         gauss.active, jax.lax.stop_gradient(T_eff), intr,
@@ -474,7 +474,7 @@ def render(
     n = gauss.xyz.shape[0]
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
-    T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    T_eff = se3.retract(T_cw, tau) if tau is not None else T_cw
 
     prep = preprocess(
         gauss.xyz,
@@ -706,7 +706,7 @@ def render_batch(
         means2d_offsets = jnp.zeros((b, n, 2))
 
     def pp(T, tau, off):
-        T_eff = se3.se3_exp(tau) @ T
+        T_eff = se3.retract(T, tau)
         prep = preprocess(
             gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit,
             gauss.sh, gauss.active, T_eff, intr, sh_degree=cfg.sh_degree,
@@ -786,7 +786,7 @@ def render_pose_jvp_tiles(
     fi = idx_s.reshape(-1)
 
     def pp(tau):
-        T_eff = se3.se3_exp(tau) @ T_cw
+        T_eff = se3.retract(T_cw, tau)
         prep = preprocess(
             gauss.xyz[fi], gauss.log_scale[fi], gauss.quat[fi],
             gauss.opa_logit[fi], gauss.sh[fi], gauss.active[fi], T_eff, intr,
@@ -828,7 +828,7 @@ def tile_rows(
     the front half of render_tiles's pallas_lists branch, factored out so
     callers can jax.vjp over it directly: the fused first-order gradient
     kernel consumes d and returns its cotangent (render_fo_grad_tiles)."""
-    T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    T_eff = se3.retract(T_cw, tau) if tau is not None else T_cw
     s_tiles, kf = lists_sub.idx.shape
     fi = lists_sub.idx.reshape(-1)
     prep = preprocess(
@@ -887,7 +887,7 @@ def render_tiles(
         )                                                   # [S, P, 8]
         return outs[..., :3], outs[..., 3], outs[..., 4]
 
-    T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    T_eff = se3.retract(T_cw, tau) if tau is not None else T_cw
     s_tiles, kf = lists_sub.idx.shape
     fi = lists_sub.idx.reshape(-1)
     prep = preprocess(
@@ -1089,7 +1089,7 @@ def render_golden(
     """
     if bg is None:
         bg = jnp.zeros((3,), jnp.float32)
-    T_eff = se3.se3_exp(tau) @ T_cw if tau is not None else T_cw
+    T_eff = se3.retract(T_cw, tau) if tau is not None else T_cw
     prep = preprocess(
         gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit, gauss.sh,
         gauss.active, T_eff, intr, sh_degree=sh_degree, near=near,

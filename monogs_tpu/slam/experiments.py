@@ -110,7 +110,7 @@ def lm_sweep(gauss, frame: FrameData, T, intr, cfg, tcfg, key,
     results = {}
     for lam in lambdas:
         x = damped_lstsq(SJ, Sf, lam)
-        T2 = se3.se3_exp(x[:6]) @ T
+        T2 = se3.retract(T, x[:6])
         results[float(lam)] = {
             "loss": l1_at(T2, 1.0 + x[6], x[7]),
             "step_norm": float(jnp.linalg.norm(x)),
@@ -144,7 +144,7 @@ def step_size_sweep(gauss, frame: FrameData, T, intr, cfg, tcfg, key,
             )(p)
             traj.append(float(l1))
             d = -lr * g
-            Tc = se3.se3_exp(d[:6]) @ Tc
+            Tc = se3.retract(Tc, d[:6])
             ea = ea + d[6]
             eb = eb + d[7]
         trans_d, ang_d = se3.pose_diff(Tc, T)
@@ -239,8 +239,8 @@ def kfine_vs_backward_subsample(gauss, frame: FrameData, T, intr,
         ], axis=1)
 
     def masked_loss(p):
-        C = se3.se3_exp(p[:6]) @ T
-        C0 = se3.se3_exp(jax.lax.stop_gradient(p[:6])) @ T
+        C = se3.retract(T, p[:6])
+        C0 = se3.retract(T, jax.lax.stop_gradient(p[:6]))
         M = jnp.linalg.solve(C, C0)
         xyz_m = gauss.xyz @ M[:3, :3].T + M[:3, 3]
         quat_m = quat_premul(rotmat_to_quat_near_identity(M[:3, :3]),

@@ -565,6 +565,13 @@ class FrontEnd:
                 elif data[0] == "init":
                     self.sync_backend(data)
                     self.requested_init = False
+                elif data[0] == "backend_failed":
+                    # failure detection: re-raise the backend thread's
+                    # exception here (main thread) instead of deadlocking on
+                    # an acknowledgement that will never come
+                    raise RuntimeError(
+                        "backend thread failed"
+                    ) from data[1]
                 elif data[0] == "stop":
                     # record the in-flight pose but skip keyframe requests —
                     # the backend is shutting down

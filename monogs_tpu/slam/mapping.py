@@ -72,6 +72,12 @@ class MapConfig(NamedTuple):
     # until they enter the lists). 0 disables (bin every render).
     bin_margin: float = 4.0
     rebin_every: int = 25
+    # Blend all B window views as one stacked-tile kernel invocation
+    # (render_batch) instead of lax.map-ing B per-view renders. A/B knob:
+    # per-view grids underfill the chip at small windows, but the stacked
+    # kernel's larger working set can lose to the sequential path at big
+    # k_fine — measure per workload.
+    batch_render: bool = True
 
 
 class CamBatch(NamedTuple):
@@ -132,7 +138,8 @@ def _batch_loss(params: gm.ParamLeaves, taus, eas, ebs, cams: CamBatch,
     """
     gauss = _gauss_view(params, active)
 
-    if cfg.backend == "pallas_lists" and lists_b is not None:
+    if (cfg.backend == "pallas_lists" and lists_b is not None
+            and mcfg.batch_render):
         from ..render.renderer import render_batch
 
         image_b, depth_b, _, radii = render_batch(
@@ -361,7 +368,7 @@ def map_iters_impl(
                 jnp.sqrt(kav2 / (1 - 0.999**kat2)) + 1e-8
             )
             d8 = jnp.where(opt_mask, d8, 0.0)
-            newT = jax.vmap(lambda T, d: se3.se3_exp(d) @ T)(cams_c.T, d8[:, :6])
+            newT = jax.vmap(lambda T, d: se3.retract(T, d))(cams_c.T, d8[:, :6])
             cams_c = cams_c._replace(
                 T=newT, ea=cams_c.ea + d8[:, 6], eb=cams_c.eb + d8[:, 7]
             )

@@ -102,6 +102,11 @@ def track_config_from_config(config) -> TrackConfig:
         so_tile_frac=rgn["second_order"].get("tile_frac", 1.0),
         fo_fused=rgn["first_order"].get("fused_kernel", True),
         final_refine=rgn.get("final_refine", True),
+        fo_plateau_patience=rgn["first_order"].get("plateau_patience", 0),
+        fo_plateau_rtol=rgn["first_order"].get("plateau_rtol", 1e-3),
+        fo_min_iter=rgn["first_order"].get("min_iter", 0),
+        so_plateau_patience=rgn["second_order"].get("plateau_patience", 0),
+        so_plateau_rtol=rgn["second_order"].get("plateau_rtol", 1e-4),
     )
 
 
@@ -136,6 +141,8 @@ def map_config_from_config(config, cameras_extent: float = 6.0) -> MapConfig:
         # in pixels (0 disables the frozen-list reuse) and rebuild cadence
         bin_margin=config.get("Renderer", {}).get("mapping_bin_margin", 4.0),
         rebin_every=config.get("Renderer", {}).get("mapping_rebin_every", 25),
+        batch_render=config.get("Renderer", {}).get("mapping_batch_render",
+                                                    True),
     )
 
 
@@ -208,8 +215,19 @@ class SLAM:
         )
         self.frontend.metrics = self.metrics
 
+    def _backend_main(self):
+        # Failure detection: an exception in the backend thread must reach
+        # the frontend, which otherwise blocks forever on keyframe
+        # acknowledgements that will never come (observed: a compile OOM in
+        # map_iters hung the whole run). The frontend raises on this message.
+        try:
+            self.backend.run()
+        except BaseException as e:  # noqa: BLE001 - forwarded, not swallowed
+            Log(f"Backend thread FAILED: {type(e).__name__}: {e}", tag="Error")
+            self.frontend_queue.put(["backend_failed", e])
+
     def run(self):
-        backend_thread = threading.Thread(target=self.backend.run, daemon=True)
+        backend_thread = threading.Thread(target=self._backend_main, daemon=True)
         gui_thread = None
         if self.use_gui:
             from ..gui import ParamsGUI
@@ -263,6 +281,8 @@ class SLAM:
                     time.sleep(0.01)
                     continue
                 data = self.frontend_queue.get()
+                if data[0] == "backend_failed":
+                    raise RuntimeError("backend thread failed") from data[1]
                 if data[0] == "sync_backend" and self.frontend_queue.empty():
                     self.gaussians = data[1]
                     break

@@ -103,6 +103,18 @@ class TrackConfig(NamedTuple):
     # macro membership is frozen at the so phase-start pose, which the
     # bin_margin already covers (test_refine_full_render_parity).
     final_refine: bool = True
+    # Plateau early-exit (0 disables): stop a phase once the best L1 has not
+    # improved by a relative plateau_rtol for `patience` consecutive
+    # iterations. The reference's update-norm criteria (fo_converged /
+    # so_converged) essentially never fire — an Adam step is ~lr in
+    # magnitude whenever gradients are alive, so every frame burns the full
+    # iteration caps. best-loss caching makes the plateau exit safe: the
+    # returned iterate is the best seen, not the last.
+    fo_plateau_patience: int = 0
+    fo_plateau_rtol: float = 1e-3
+    fo_min_iter: int = 0
+    so_plateau_patience: int = 0
+    so_plateau_rtol: float = 1e-4
 
 
 class TrackState(NamedTuple):
@@ -126,6 +138,8 @@ class TrackState(NamedTuple):
     # (processing/plot_wall_clock_time_vs_error.py; reference logs `losses`
     # per frame, slam_frontend.py:882-898)
     hist: jax.Array
+    # iterations since best_l1 last improved significantly (plateau exit)
+    since_best: jax.Array
 
 
 class TrackResult(NamedTuple):
@@ -428,14 +442,23 @@ def track_frame(
         mh = m / (1 - 0.9 ** t)
         vh = v / (1 - 0.999 ** t)
         d = -lr8 * mh / (jnp.sqrt(vh) + 1e-8)
-        T = se3.se3_exp(d[:6]) @ s.T
+        T = se3.retract(s.T, d[:6])
         converged = jnp.sum(d[:6] * d[:6]) < tcfg.fo_converged**2
+        since_best = s.since_best
+        if tcfg.fo_plateau_patience > 0:
+            sig = l1 < s.best_l1 * (1.0 - tcfg.fo_plateau_rtol)
+            since_best = jnp.where(sig, 0, s.since_best + 1)
+            converged = converged | (
+                (since_best >= tcfg.fo_plateau_patience)
+                & (s.i + 1 >= tcfg.fo_min_iter)
+            )
         return s._replace(
             i=s.i + 1, T=T, ea=s.ea + d[6], eb=s.eb + d[7],
             adam_m=m, adam_v=v, adam_t=t,
             prev_l1=l1, best_l1=best_l1, best_T=best_T,
             best_ea=best_ea, best_eb=best_eb, converged=converged,
             hist=s.hist.at[s.i].set(l1),
+            since_best=since_best,
         )
 
     s = TrackState(
@@ -445,6 +468,7 @@ def track_frame(
         best_l1=big, best_T=T_init, best_ea=ea_init, best_eb=eb_init,
         converged=jnp.asarray(False), key=key,
         hist=jnp.full((tcfg.fo_max_iter,), jnp.nan, jnp.float32),
+        since_best=jnp.int32(0),
     )
     if tcfg.fo_max_iter > 0:
         s = jax.lax.while_loop(fo_cond, fo_body, s)
@@ -585,19 +609,28 @@ def track_frame(
             best_eb = jnp.where(better, s.eb, s.best_eb)
             x = damped_lstsq(SJ, Sf, lam)
 
-            T = se3.se3_exp(x[:6]) @ s.T
+            T = se3.retract(s.T, x[:6])
             converged = jnp.linalg.norm(x) < tcfg.so_converged
+            since_best = s.since_best
+            if tcfg.so_plateau_patience > 0:
+                sig = l1 < s.best_l1 * (1.0 - tcfg.so_plateau_rtol)
+                since_best = jnp.where(sig, 0, s.since_best + 1)
+                converged = converged | (
+                    since_best >= tcfg.so_plateau_patience
+                )
             return s._replace(
                 i=s.i + 1, T=T, ea=s.ea + x[6], eb=s.eb + x[7],
                 lam=lam, prev_l1=l1, best_l1=best_l1, best_T=best_T,
                 best_ea=best_ea, best_eb=best_eb, converged=converged,
                 key=key,
                 hist=s.hist.at[s.i].set(l1),
+                since_best=since_best,
             )
 
         s = s._replace(
             i=jnp.int32(0), prev_l1=big, converged=jnp.asarray(False),
             hist=jnp.full((tcfg.so_max_iter,), jnp.nan, jnp.float32),
+            since_best=jnp.int32(0),
         )
         if fast_so and can_refine and tcfg.rebin_so_iters > 0:
             k_rebin = min(tcfg.rebin_so_iters, tcfg.so_max_iter)
