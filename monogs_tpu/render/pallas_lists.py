@@ -490,6 +490,15 @@ def _jvp8_kernel(tx0_ref, ty0_ref, dat_ref, tan_ref, pmat_ref,
     pyl = _ax(pmat, 4, 0)
     dx = ul[:, :, None] - pxl[None, None, :]
     dy = vl[:, :, None] - pyl[None, None, :]
+    # tangent-independent [B, Kf, P] factors, hoisted out of the 6-tangent
+    # loop (the quadratic monomials and the conic gradient are shared by
+    # every tangent; recomputing them per tangent sextuples the dominant
+    # VPU work of this kernel)
+    xx = -0.5 * (dx * dx)
+    yy = -0.5 * (dy * dy)
+    xy = dx * dy
+    gx = a[:, :, None] * dx + bq[:, :, None] * dy
+    gy = bq[:, :, None] * dx + cc[:, :, None] * dy
     w_ts, feats_ts = [], []
     for k in range(n_tan):
         drows = _ax(tan_ref[:], k, 1)                   # [B, Kf, F]
@@ -502,10 +511,10 @@ def _jvp8_kernel(tx0_ref, ty0_ref, dat_ref, tan_ref, pmat_ref,
         # tangent of s = -0.5(a dx^2 + c dy^2) - b dx dy + logo, with
         # d(dx) = u_t, d(dy) = v_t (pixel coords are constants)
         s_t = (
-            -0.5 * (a_t * dx * dx + c_t * dy * dy)
-            - b_t * dx * dy
-            - (a[:, :, None] * dx + bq[:, :, None] * dy) * u_t
-            - (bq[:, :, None] * dx + cc[:, :, None] * dy) * v_t
+            a_t * xx + c_t * yy
+            - b_t * xy
+            - gx * u_t
+            - gy * v_t
             + logo_t
         )
         alpha_t = jnp.where(live_a, f["alpha"] * s_t, 0.0)

@@ -68,6 +68,39 @@ def render_config_from_config(config, intr: Intrinsics) -> RenderConfig:
     )
 
 
+# The tracking Pallas kernels (fused fo loss+grad, 6-tangent jvp8) keep
+# [bt*k_fine, P]-shaped blend intermediates in scoped VMEM; even at their
+# minimum tile batch (bt=1) they exceed the 16M scoped limit once k_fine
+# passes ~256 (measured: jvp8 ~11M at bt=2/Kf=96 => ~29M at bt=1/Kf=512 on
+# v5e). Mapping-grade list capacities (k_fine 512) therefore cannot flow
+# into the tracker unclamped. 256 is the largest hardware-safe value; the
+# reference's analogous knob is first_order_num_pixels / sketched backward
+# subsampling (slam_frontend.py:88,397) — tracking never needs mapping's
+# full per-tile contributor depth.
+_TRACK_K_FINE_VMEM_CAP = 256
+
+
+def track_render_config(config, render_cfg: RenderConfig) -> RenderConfig:
+    """Tracking-side RenderConfig: `Renderer.track_k_fine` override, else
+    the shared k_fine clamped to the VMEM-safe cap on the Pallas path."""
+    rc = config.get("Renderer", {})
+    k = rc.get("track_k_fine")
+    if k is None:
+        k = render_cfg.k_fine
+        if (
+            render_cfg.backend.startswith("pallas")
+            and not render_cfg.pallas_interpret
+            and k > _TRACK_K_FINE_VMEM_CAP
+        ):
+            Log(
+                f"Clamping tracking k_fine {k} -> {_TRACK_K_FINE_VMEM_CAP} "
+                "(scoped-VMEM limit of the fused tracking kernels; set "
+                "Renderer.track_k_fine to choose explicitly)."
+            )
+            k = _TRACK_K_FINE_VMEM_CAP
+    return render_cfg._replace(k_fine=int(k))
+
+
 def track_config_from_config(config) -> TrackConfig:
     tr = config["Training"]
     rgn = tr["RGN"]
@@ -179,6 +212,7 @@ class SLAM:
 
         self.intr = intrinsics_from_config(config)
         self.render_cfg = render_config_from_config(config, self.intr)
+        self.track_render_cfg = track_render_config(config, self.render_cfg)
         self.tcfg = track_config_from_config(config)
         self.mcfg = map_config_from_config(config)
         self.hyper = map_hyper_from_config(config)
@@ -195,7 +229,7 @@ class SLAM:
         self.q_vis2main = queue.Queue() if self.use_gui else None
 
         self.frontend = FrontEnd(
-            config, dataset, self.intr, self.render_cfg, self.tcfg,
+            config, dataset, self.intr, self.track_render_cfg, self.tcfg,
             self.frontend_queue, self.backend_queue, save_dir=save_dir,
             q_main2vis=self.q_main2vis, q_vis2main=self.q_vis2main,
         )
