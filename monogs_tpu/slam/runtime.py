@@ -135,6 +135,8 @@ def track_config_from_config(config) -> TrackConfig:
         so_tile_frac=rgn["second_order"].get("tile_frac", 1.0),
         fo_fused=rgn["first_order"].get("fused_kernel", True),
         final_refine=rgn.get("final_refine", True),
+        so_from_fo_aux=rgn.get("so_from_fo_aux", False),
+        final_reuse=rgn.get("final_reuse", False),
         fo_plateau_patience=rgn["first_order"].get("plateau_patience", 0),
         fo_plateau_rtol=rgn["first_order"].get("plateau_rtol", 1e-3),
         fo_min_iter=rgn["first_order"].get("min_iter", 0),

@@ -103,6 +103,20 @@ class TrackConfig(NamedTuple):
     # macro membership is frozen at the so phase-start pose, which the
     # bin_margin already covers (test_refine_full_render_parity).
     final_refine: bool = True
+    # Reuse the FIRST-ORDER margin build's macro lists for the second-order
+    # phase instead of re-running the global binning at the post-fo pose
+    # (build_tile_lists is a full preprocess of all N + global sort). The
+    # fine stage still re-selects with current-pose geometry each refine
+    # iteration; only macro-cell membership is frozen at the frame's seed
+    # pose, which bin_margin covers for intra-frame motion (a few px).
+    so_from_fo_aux: bool = False
+    # Final n_touched render straight from the frozen full-image margin
+    # lists (no per-tile fine refine at the final pose). Strict-first
+    # priority selection makes margin lists blend-identical to exact lists
+    # under truncation at the build pose; within-frame motion only perturbs
+    # near-boundary rows, which n_touched/median-depth consumers
+    # (keyframing heuristics) tolerate. Implies skipping final_refine.
+    final_reuse: bool = False
     # Plateau early-exit (0 disables): stop a phase once the best L1 has not
     # improved by a relative plateau_rtol for `patience` consecutive
     # iterations. The reference's update-norm criteria (fo_converged /
@@ -366,10 +380,18 @@ def track_frame(
         return jnp.concatenate([jnp.zeros(6), ea[None], eb[None]])
 
     use_lists = tcfg.bin_margin > 0
-    lists_fo = (
-        build_tile_lists(gauss, T_init, intr, cfg_track, margin=tcfg.bin_margin)
-        if use_lists else None
-    )
+    fo_aux = None
+    if use_lists and tcfg.so_from_fo_aux:
+        lists_fo, fo_aux = build_tile_lists(
+            gauss, T_init, intr, cfg_track, margin=tcfg.bin_margin,
+            with_aux=True,
+        )
+    elif use_lists:
+        lists_fo = build_tile_lists(
+            gauss, T_init, intr, cfg_track, margin=tcfg.bin_margin
+        )
+    else:
+        lists_fo = None
 
     fo_sub = use_lists and tcfg.fo_tile_frac < 1.0 and tcfg.fo_max_iter > 0
     if fo_sub:
@@ -482,7 +504,11 @@ def track_frame(
             s = s._replace(T=s.best_T, ea=s.best_ea, eb=s.best_eb)
         m_pix = frame.gt_image.shape[1] * frame.gt_image.shape[2]
         so_aux = None
-        if use_lists and tcfg.rebin_before_so:
+        if use_lists and tcfg.so_from_fo_aux and fo_aux is not None:
+            # macro lists frozen at the seed pose; the refine loop below
+            # re-selects the fine stage at the current pose each iteration
+            lists_so, so_aux = lists_fo, fo_aux
+        elif use_lists and tcfg.rebin_before_so:
             lists_so, so_aux = build_tile_lists(
                 gauss, s.T, intr, cfg_track, margin=tcfg.bin_margin,
                 with_aux=True,
@@ -673,7 +699,12 @@ def track_frame(
     # global binning by refining the so phase's frozen margin macro lists
     # at the final pose (see TrackConfig.final_refine)
     final_lists = None
-    if (
+    if tcfg.final_reuse and use_lists:
+        # frozen full-image margin lists straight through (see
+        # TrackConfig.final_reuse); render() re-masks against current-pose
+        # validity (vld_f = lists.vld & prep.valid[lists.idx])
+        final_lists = lists_so if tcfg.so_max_iter > 0 else lists_fo
+    elif (
         tcfg.final_refine
         and tcfg.so_max_iter > 0
         and fast_so

@@ -67,10 +67,11 @@ jax.block_until_ready(datas[-1].gt_image)
 
 
 def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
-              rebin=3, stack=16):
+              rebin=3, stack=16, fast_fixed=0):
     """lrx = fo learning-rate multiplier x10 (10 = stock).
     fofrac/sofrac = tile fractions x100 (25 = stock).
-    rebin = rebin_so_iters."""
+    rebin = rebin_so_iters. fast_fixed=1 -> so_from_fo_aux + final_reuse
+    (skip the post-fo global rebuild and the final all-tile fine refine)."""
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=fo, so_max_iter=so,
         stack_dim=stack, sketch_dim=64, bin_margin=8.0,
@@ -79,6 +80,7 @@ def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
         fo_plateau_patience=fopp, so_plateau_patience=sopp,
         fo_min_iter=3 if fopp else 0,
         lr_trans=0.001 * lrx / 10.0, lr_rot=0.003 * lrx / 10.0,
+        so_from_fo_aux=bool(fast_fixed), final_reuse=bool(fast_fixed),
     )
 
     def one(i, seed_T):
@@ -114,7 +116,7 @@ def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
     so_it = float(np.mean([int(o.so_iters) for o in outs]))
     ms = el / N_FRAMES * 1000
     print(f"[sweep] fo{fo:>3} so{so:>3} fopp{fopp} sopp{sopp} "
-          f"lrx{lrx} ff{fofrac} sf{sofrac} rb{rebin} st{stack}: "
+          f"lrx{lrx} ff{fofrac} sf{sofrac} rb{rebin} st{stack} fx{fast_fixed}: "
           f"{ms:7.1f} ms/frame ({1000/ms:5.2f} fps)  "
           f"err mean {np.mean(errs):5.2f} max {np.max(errs):5.2f} mm  "
           f"iters fo {fo_it:4.1f} so {so_it:4.1f}", flush=True)

@@ -303,6 +303,44 @@ def test_tracking_fused_fo_converges():
     assert float(trans) < 0.3 * float(trans0), (float(trans), float(trans0))
 
 
+def test_tracking_fast_fixed_path_converges():
+    """track_frame with the fixed-cost cuts (so_from_fo_aux: reuse the fo
+    margin build's macro aux for the so phase; final_reuse: final n_touched
+    render straight from the frozen margin lists) still recovers a perturbed
+    pose and still emits a usable n_touched."""
+    import numpy as np
+
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops import se3
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, track_frame
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=128,
+                       backend="pallas_lists", pallas_interpret=True)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=1200, seed=6,
+                          sensor_type="monocular", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, _, T_gt = ds[0]
+    frame = make_frame_data(img, None, 1.1, 0.01, "synthetic")
+    T0 = se3.se3_exp(0.008 * jax.random.normal(jax.random.PRNGKey(2), (6,))
+                     ) @ T_gt
+    tcfg = TrackConfig(monocular=True, fo_max_iter=30, so_max_iter=6,
+                       lr_trans=0.002, lr_rot=0.006,
+                       stack_dim=8, sketch_dim=64, bin_margin=8.0,
+                       fo_tile_frac=0.5, so_tile_frac=0.5,
+                       rebin_so_iters=2,
+                       so_from_fo_aux=True, final_reuse=True)
+    res = track_frame(ds.scene, frame, T0, jnp.float32(1.0),
+                      jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg,
+                      tcfg)
+    trans, _ = se3.pose_diff(res.T, T_gt)
+    trans0, _ = se3.pose_diff(T0, T_gt)
+    assert float(trans) < 0.3 * float(trans0), (float(trans), float(trans0))
+    assert int(np.sum(np.asarray(res.n_touched) > 0)) > 100
+
+
 def test_render_tiles_parity():
     """render_tiles on ALL tiles matches the assembled full render."""
     from monogs_tpu.render import build_tile_lists
