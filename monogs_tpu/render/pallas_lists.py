@@ -63,12 +63,13 @@ from .renderer import (
 def _pick_bt(n_tiles: int, kf: int = 96, want: int = 8) -> int:
     """Tile-batch (block) size for the list kernels.
 
-    Every kernel's scoped-VMEM footprint scales ~ bt*kf (the [bt*Kf, P]
-    blend intermediates dominate). The per-kernel `want` values are
-    calibrated at Kf=96 (measured fits on v5e, 16M scoped limit), so the
-    cap shrinks proportionally for larger list capacities — mapping
-    configs run kf up to 512, which OOMed at the kf=96-calibrated bt."""
-    cap = max(1, (want * 96) // max(kf, 1))
+    Every kernel's scoped-VMEM footprint scales ~ bt*kc (the [bt*Kc, P]
+    per-chunk blend intermediates dominate; kernels scan K in chunks of
+    _chunk_kc(kf) with a transmittance carry, so capacity beyond the chunk
+    size costs no VMEM). The per-kernel `want` values are calibrated at
+    Kc=96 (measured fits on v5e, 16M scoped limit)."""
+    kc = _chunk_kc(kf)
+    cap = max(1, (want * 96) // max(kc, 1))
     for bt in (8, 4, 2, 1):
         if bt <= min(want, cap) and n_tiles % bt == 0:
             return bt
@@ -145,11 +146,25 @@ def _cumsum_b(x, reverse: bool):
     return (within + cross[:, :, None]).reshape(bsz, k, p)
 
 
-def _batch_forward(rows, x0, y0, pmat, width, height):
-    """Shared primal math for a batch of tiles.
+def _chunk_kc(kf: int, cap: int = 128) -> int:
+    """K-chunk size: the largest divisor of kf that is a multiple of 16 and
+    <= cap. The blend is an ordered scan over K, so kernels process K in
+    chunks of kc with a transmittance carry — [B, kc, P] intermediates
+    instead of [B, Kf, P] bound scoped VMEM regardless of list capacity
+    (mapping-grade k_fine 512 compiles; no more track_k_fine clamp)."""
+    kc = min(kf, cap)
+    while kf % kc or kc % 16:
+        kc -= 16 if kc % 16 == 0 else kc % 16
+    return max(kc, 16)
 
-    rows: [B, Kf, F]; x0/y0: [B]; pmat: [6, P] (rows 3/4 are the tile-local
-    pixel coordinates). Returns activation dict; all [B, Kf, P] tensors.
+
+def _batch_forward(rows, x0, y0, pmat, width, height, t_in=None):
+    """Shared primal math for a batch of tiles (one K-chunk).
+
+    rows: [B, Kc, F]; x0/y0: [B]; pmat: [6, P] (rows 3/4 are the tile-local
+    pixel coordinates); t_in: [B, 1, P] transmittance entering this chunk
+    (None = 1, i.e. the first chunk). Returns activation dict; all
+    [B, Kc, P] tensors, plus 't_out' [B, 1, P] for the next chunk's carry.
 
     The log-alpha quadratic is evaluated DIRECTLY on the VPU (exact f32,
     bit-matching the golden renderer) — inside the kernel the factorized
@@ -186,7 +201,12 @@ def _batch_forward(rows, x0, y0, pmat, width, height):
     )
     alpha = jnp.where(ok, alpha, 0.0)
     one_minus = 1.0 - alpha
-    t_excl, _ = _cumprod_excl_b(one_minus)
+    t_excl, t_incl = _cumprod_excl_b(one_minus)
+    if t_in is not None:
+        t_excl = t_excl * t_in
+        t_out = t_in * jax.lax.slice_in_dim(t_incl, kf - 1, kf, axis=1)
+    else:
+        t_out = jax.lax.slice_in_dim(t_incl, kf - 1, kf, axis=1)
     contrib = ok & (t_excl * one_minus >= _T_EPS)
     w = jnp.where(contrib, alpha * t_excl, 0.0)
     feats = jnp.concatenate(
@@ -200,7 +220,7 @@ def _batch_forward(rows, x0, y0, pmat, width, height):
     )                                                   # [B, Kf, 8]
     return dict(ul=ul, vl=vl, a=a, b=b, c=c, alpha=alpha, ok=ok,
                 one_minus=one_minus, t_excl=t_excl, contrib=contrib,
-                w=w, feats=feats)
+                w=w, feats=feats, t_out=t_out)
 
 
 def _dot3(a, b):
@@ -248,30 +268,57 @@ def _outs_from(w, feats, bt):
     return _unstack_lanes(o, bsz, nf)
 
 
+def _kchunk(rows, j, kc):
+    """rows[:, j*kc:(j+1)*kc, :] (static slice)."""
+    return jax.lax.slice_in_dim(rows, j * kc, (j + 1) * kc, axis=1)
+
+
+def _forward_chunks(rows, x0, y0, pmat, width, height, kc):
+    """Forward sweep over K-chunks: yields (j, f_j) with the transmittance
+    carried across chunks (see _batch_forward). The chunk loop is a Python
+    unroll — n_chunks is static and small (<= kf/16)."""
+    kf = rows.shape[1]
+    t_in = None
+    for j in range(kf // kc):
+        f = _batch_forward(_kchunk(rows, j, kc), x0, y0, pmat, width,
+                           height, t_in)
+        yield j, f
+        t_in = f["t_out"]
+
+
 def _fwd_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, outs_ref, *,
-                width: int, height: int, bt: int):
+                width: int, height: int, bt: int, kc: int):
     g = pl.program_id(0)
     x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
     y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
-    f = _batch_forward(dat_ref[:], x0, y0, pmat_ref[:], width, height)
-    outs_ref[:] = _outs_from(f["w"], f["feats"], bt)
+    acc = None
+    for _, f in _forward_chunks(dat_ref[:], x0, y0, pmat_ref[:], width,
+                                height, kc):
+        o = _outs_from(f["w"], f["feats"], bt)
+        acc = o if acc is None else acc + o
+    outs_ref[:] = acc
 
 
 def _fwd_counts_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, outs_ref,
-                       cnt_ref, *, width: int, height: int, bt: int):
+                       cnt_ref, *, width: int, height: int, bt: int,
+                       kc: int):
     g = pl.program_id(0)
     x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
     y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
-    f = _batch_forward(dat_ref[:], x0, y0, pmat_ref[:], width, height)
-    outs_ref[:] = _outs_from(f["w"], f["feats"], bt)
-    # contributing-pixel count per row (the CUDA kernel's n_touched);
-    # exact in f32 (sums of <= P ones). Emitted [bt, 1, kf]: a 2-D
-    # [bt, kf] block is only Mosaic-legal when bt % 8 == 0, but large-kf
-    # configs need small bt for VMEM (see _pick_bt); with the unit middle
-    # dim the block's last two dims equal the array's and any bt is legal.
-    cnt_ref[:] = jnp.expand_dims(
-        jnp.sum(f["contrib"].astype(jnp.float32), axis=2), 1
-    )
+    acc, cnts = None, []
+    for _, f in _forward_chunks(dat_ref[:], x0, y0, pmat_ref[:], width,
+                                height, kc):
+        o = _outs_from(f["w"], f["feats"], bt)
+        acc = o if acc is None else acc + o
+        # contributing-pixel count per row (the CUDA kernel's n_touched);
+        # exact in f32 (sums of <= P ones)
+        cnts.append(jnp.sum(f["contrib"].astype(jnp.float32), axis=2))
+    outs_ref[:] = acc
+    # Emitted [bt, 1, kf]: a 2-D [bt, kf] block is only Mosaic-legal when
+    # bt % 8 == 0, but large-kf configs need small bt for VMEM (see
+    # _pick_bt); with the unit middle dim the block's last two dims equal
+    # the array's and any bt is legal.
+    cnt_ref[:] = jnp.expand_dims(jnp.concatenate(cnts, axis=1), 1)
 
 
 def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
@@ -285,7 +332,7 @@ def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
     bt = _pick_bt(n_tiles, kf)
     outs, cnts = pl.pallas_call(
         functools.partial(_fwd_counts_kernel, width=width, height=height,
-                          bt=bt),
+                          bt=bt, kc=_chunk_kc(kf)),
         grid=(n_tiles // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -306,10 +353,15 @@ def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
     return outs, cnts.reshape(n_tiles, kf)
 
 
-def _dd_from_gouts(f, pmat, g_outs, bsz, kf):
+def _dd_from_gouts(f, pmat, g_outs, bsz, kf, suffix=None):
     """Reverse-blend: output cotangents [B, P, 8] -> row cotangents
-    [B, Kf, F]. Shared by the plain VJP kernel and the fused
-    loss-and-gradient kernel."""
+    [B, Kc, F] for one K-chunk. Shared by the plain VJP kernel and the
+    fused loss-and-gradient kernel.
+
+    `suffix` [B, 1, P] carries sum_{k in later chunks} wbar_k * w_k — the
+    part of the reverse-scan that lives beyond this chunk (chunks are
+    processed back-to-front; None = last chunk). Returns (dd, ww_total)
+    where ww_total [B, 1, P] is this chunk's contribution to the carry."""
     # go_p: [P, B*8] by lane-concat of per-tile cotangents
     go_p = jnp.concatenate([_ax(g_outs, b, 0) for b in range(bsz)], axis=1)
     wbar = _dot3(_blockdiag(f["feats"]), go_p.T).reshape(
@@ -325,7 +377,13 @@ def _dd_from_gouts(f, pmat, g_outs, bsz, kf):
     )                                                       # [B, Kf, 8]
 
     ww = wbar * f["w"]
-    obar = _cumsum_b(ww, reverse=True) / f["one_minus"]
+    obar = _cumsum_b(ww, reverse=True)
+    if suffix is not None:
+        obar = obar + suffix
+    ww_total = jnp.sum(ww, axis=1, keepdims=True) + (
+        suffix if suffix is not None else 0.0
+    )
+    obar = obar / f["one_minus"]
     abar = jnp.where(f["contrib"], f["t_excl"] * wbar, 0.0) - obar
     live_a = f["ok"] & (f["alpha"] < 0.99)
     sbar = jnp.where(live_a, f["alpha"] * abar, 0.0)
@@ -347,25 +405,48 @@ def _dd_from_gouts(f, pmat, g_outs, bsz, kf):
     cols[_R0 + 1] = _col(fbar, 1)
     cols[_R0 + 2] = _col(fbar, 2)
     cols[_Z] = _col(fbar, 3)
-    return jnp.stack(cols, axis=-1)
+    return jnp.stack(cols, axis=-1), ww_total
+
+
+def _reverse_chunks(rows, x0, y0, pmat, width, height, kc):
+    """Reverse sweep over K-chunks for the reverse-blend: a forward prefix
+    pass stores each chunk's entry transmittance (a [B, 1, P] carry per
+    chunk — cheap), then yields (j, f_j) back-to-front so callers can carry
+    the suffix term of the reverse scan (see _dd_from_gouts)."""
+    kf = rows.shape[1]
+    n_ch = kf // kc
+    t_ins = [None]
+    for j in range(n_ch - 1):
+        # prefix pass: only t_out survives (the rest of the forward is
+        # dead code the compiler eliminates)
+        f = _batch_forward(_kchunk(rows, j, kc), x0, y0, pmat, width,
+                           height, t_ins[-1])
+        t_ins.append(f["t_out"])
+    for j in range(n_ch - 1, -1, -1):
+        yield j, _batch_forward(_kchunk(rows, j, kc), x0, y0, pmat,
+                                width, height, t_ins[j])
 
 
 def _bwd_kernel(tx0_ref, ty0_ref, dat_ref, pmat_ref, gout_ref, dd_ref, *,
-                width: int, height: int, bt: int):
+                width: int, height: int, bt: int, kc: int):
     g = pl.program_id(0)
     x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
     y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
     rows = dat_ref[:]
     pmat = pmat_ref[:]
-    bsz, kf, _ = rows.shape
-    f = _batch_forward(rows, x0, y0, pmat, width, height)
-    dd_ref[:] = _dd_from_gouts(f, pmat, gout_ref[:], bsz, kf)
+    bsz, _, _ = rows.shape
+    g_outs = gout_ref[:]
+    suffix = None
+    for j, f in _reverse_chunks(rows, x0, y0, pmat, width, height, kc):
+        dd_j, suffix = _dd_from_gouts(f, pmat, g_outs, bsz, kc, suffix)
+        dd_ref[:, j * kc:(j + 1) * kc, :] = dd_j
 
 
 def _fo_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
-                    mask_ref, dd_ref, sums_ref, *, width: int, height: int,
-                    bt: int, use_huber: bool, delta: float, eps: float):
-    """Fused mono first-order step: primal blend + residual/Huber chain +
+                    mask_ref, *refs, width: int, height: int,
+                    bt: int, kc: int, use_huber: bool, delta: float,
+                    eps: float, rgbd: bool):
+    """Fused first-order step: primal blend + residual/Huber chain +
     analytic output cotangents + reverse blend, in ONE pass.
 
     Replaces (fwd kernel -> XLA residual AD -> bwd kernel), which paid two
@@ -374,17 +455,34 @@ def _fo_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
     applied OUTSIDE (dd here is d(sum hub^2)/d(rows); the caller scales by
     0.5/loss), so per-tile work needs no cross-tile reduction.
 
+    RGB-D (rgbd=True, extra gtd input): the depth term's normalizer
+    sqrt(sum r_d^2 * m/m_d) is ALSO global, but both normalizers multiply
+    LINEAR functions of the blend outputs — so the kernel emits a SECOND
+    row-cotangent dd_dep = d(sum r_d^2)/d(rows) from the same forward
+    recompute (the expensive part), and the caller combines
+    c_rgb*dd + c_dep*dd_dep before one pullback. Exactly value_and_grad of
+    the alpha-mixed objective (slam_utils.py:103-113 tracking loss;
+    _fo_loss_tiles rgbd branch). Depth residual carries no Huber and its
+    opacity/validity mask is a constant w.r.t. the tangents, matching
+    autodiff through jnp.where.
+
     sums_ref [B, 8] per-tile partials: (sum hub^2, sum |r|, d(sumsq)/d|ea|,
-    d(sumsq)/d(eb), 0...). Residual semantics = ops/losses
+    d(sumsq)/d(eb), sum r_d^2, 0...). Residual semantics = ops/losses
     tracking_residual_rgb + huber_signed (slam_utils.py:58-75,188-205)."""
+    if rgbd:
+        gtd_ref, dd_ref, dd_dep_ref, sums_ref = refs
+    else:
+        (dd_ref, sums_ref), gtd_ref, dd_dep_ref = refs, None, None
     g = pl.program_id(0)
     x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
     y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
     rows = dat_ref[:]
     pmat = pmat_ref[:]
     bsz, kf, _ = rows.shape
-    f = _batch_forward(rows, x0, y0, pmat, width, height)
-    outs = _outs_from(f["w"], f["feats"], bt)               # [B, P, 8]
+    outs = None
+    for _, f in _forward_chunks(rows, x0, y0, pmat, width, height, kc):
+        o = _outs_from(f["w"], f["feats"], bt)
+        outs = o if outs is None else outs + o              # [B, P, 8]
 
     col = _cols(outs, 0, 3)                                 # [B, P, 3]
     acc = _cols(outs, 4, 5)                                 # [B, P, 1]
@@ -409,7 +507,6 @@ def _fo_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
     g_outs = jnp.concatenate(
         [g_col, zero1, g_acc, zero1, zero1, zero1], axis=-1
     )                                                       # [B, P, 8]
-    dd_ref[:] = _dd_from_gouts(f, pmat, g_outs, bsz, kf)
 
     def tile_sum(x):                                        # [B,P,C] -> [B,1]
         return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
@@ -419,133 +516,199 @@ def _fo_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
     gea = tile_sum(rbar * am * col)                         # x sign(ea) outside
     geb = tile_sum(rbar * am)
     z = jnp.zeros_like(sumsq)
+    if rgbd:
+        dep = _cols(outs, 3, 4)                             # [B, P, 1]
+        gtd = gtd_ref[:]                                    # [B, P, 1]
+        depth_mask = (gtd > 0.01) & (acc > 0.95)
+        r_d = jnp.where(depth_mask, dep - gtd, 0.0)
+        zero3 = jnp.zeros_like(g_col)
+        g_outs_dep = jnp.concatenate(
+            [zero3, 2.0 * r_d, zero1, zero1, zero1, zero1], axis=-1
+        )                                                   # [B, P, 8]
+        sd = tile_sum(r_d * r_d)
+    else:
+        sd = z
+
+    # reverse sweep: both dd chains per chunk from ONE shared forward
+    # recompute, each carrying its own suffix term
+    suffix = suffix_dep = None
+    for j, f in _reverse_chunks(rows, x0, y0, pmat, width, height, kc):
+        dd_j, suffix = _dd_from_gouts(f, pmat, g_outs, bsz, kc, suffix)
+        dd_ref[:, j * kc:(j + 1) * kc, :] = dd_j
+        if rgbd:
+            ddd_j, suffix_dep = _dd_from_gouts(
+                f, pmat, g_outs_dep, bsz, kc, suffix_dep
+            )
+            dd_dep_ref[:, j * kc:(j + 1) * kc, :] = ddd_j
     # sums is emitted [1, bt, 8] (3-D) so its block's last two dims equal the
     # full array dims — a [bt, 8] 2-D block with bt<8 violates Mosaic's
     # sublane divisibility rule
     sums_ref[:] = jnp.concatenate(
-        [sumsq, l1, gea, geb, z, z, z, z], axis=1
+        [sumsq, l1, gea, geb, sd, z, z, z], axis=1
     )[None]
 
 
 def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
                          width: int, height: int, interpret: bool,
-                         use_huber: bool, delta: float, eps: float):
-    """Fused first-order loss + gradient over frozen lists (mono).
+                         use_huber: bool, delta: float, eps: float,
+                         gtd_t=None):
+    """Fused first-order loss + gradient over frozen lists.
 
     d: [Tf, Kf, F]; gt_t/mask_t: [Tf, P, 3]/[Tf, P, 1] tiled ground truth;
     ea/eb: exposure scalars. Returns (dd [Tf, Kf, F] = d(sum hub^2)/d(d),
-    sums [Tf, 8] per-tile partials — see _fo_grad_kernel). NOT itself
-    differentiable; render_fo_grad_tiles assembles the full 8-dim gradient."""
+    dd_dep [Tf, Kf, F] = d(sum r_d^2)/d(d) or None,
+    sums [Tf, 8] per-tile partials — see _fo_grad_kernel). With gtd_t
+    ([Tf, P, 1] tiled gt depth) the RGB-D variant runs (second reverse
+    chain for the depth term). NOT itself differentiable;
+    render_fo_grad_tiles assembles the full 8-dim gradient."""
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
+    rgbd = gtd_t is not None
     # bt=8 OOMs the 16M scoped-VMEM limit at Kf=96 (17.67M, measured on v5e:
     # this kernel holds the forward chain AND the reverse-blend temporaries
     # alive together); bt=4 halves the [bt*Kf, P] intermediates and fits.
-    bt = _pick_bt(n_tiles, kf, want=4)
+    # The RGB-D variant keeps a SECOND reverse chain's temporaries alive too
+    # — bt=2 keeps it safely inside the scoped limit.
+    bt = _pick_bt(n_tiles, kf, want=2 if rgbd else 4)
     sc = jnp.stack([ea, eb]).astype(jnp.float32)
-    dd, sums = pl.pallas_call(
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
+        pl.BlockSpec((6, p), lambda g: (0, 0)),
+        pl.BlockSpec((bt, p, 3), lambda g: (g, 0, 0)),
+        pl.BlockSpec((bt, p, 1), lambda g: (g, 0, 0)),
+    ]
+    out_specs = [
+        pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
+        pl.BlockSpec((1, bt, 8), lambda g: (g, 0, 0)),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((n_tiles, kf, _F), jnp.float32),
+        jax.ShapeDtypeStruct((n_tiles // bt, bt, 8), jnp.float32),
+    ]
+    args = [tx0, ty0, sc, d, pmat, gt_t, mask_t]
+    if rgbd:
+        in_specs.append(pl.BlockSpec((bt, p, 1), lambda g: (g, 0, 0)))
+        out_specs.insert(1, pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)))
+        out_shape.insert(1, jax.ShapeDtypeStruct((n_tiles, kf, _F),
+                                                 jnp.float32))
+        args.append(gtd_t)
+    outs = pl.pallas_call(
         functools.partial(_fo_grad_kernel, width=width, height=height,
-                          bt=bt, use_huber=use_huber, delta=delta, eps=eps),
+                          bt=bt, kc=_chunk_kc(kf), use_huber=use_huber,
+                          delta=delta, eps=eps, rgbd=rgbd),
         grid=(n_tiles // bt,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
-            pl.BlockSpec((6, p), lambda g: (0, 0)),
-            pl.BlockSpec((bt, p, 3), lambda g: (g, 0, 0)),
-            pl.BlockSpec((bt, p, 1), lambda g: (g, 0, 0)),
-        ],
-        out_specs=[
-            pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, bt, 8), lambda g: (g, 0, 0)),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((n_tiles, kf, _F), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles // bt, bt, 8), jnp.float32),
-        ],
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
         interpret=interpret,
-    )(tx0, ty0, sc, d, pmat, gt_t, mask_t)
-    return dd, sums.reshape(n_tiles, 8)
+    )(*args)
+    if rgbd:
+        dd, dd_dep, sums = outs
+    else:
+        (dd, sums), dd_dep = outs, None
+    return dd, dd_dep, sums.reshape(n_tiles, 8)
 
 
 def _jvp8_kernel(tx0_ref, ty0_ref, dat_ref, tan_ref, pmat_ref,
                  outs_ref, touts_ref, *,
-                 width: int, height: int, bt: int, n_tan: int):
+                 width: int, height: int, bt: int, n_tan: int, kc: int):
     g = pl.program_id(0)
     x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
     y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
     rows = dat_ref[:]
+    tans = tan_ref[:]
     pmat = pmat_ref[:]
     bsz, kf, _ = rows.shape
     p = pmat.shape[1]
-    f = _batch_forward(rows, x0, y0, pmat, width, height)
-    outs_ref[:] = _outs_from(f["w"], f["feats"], bt)
-
-    live_a = f["ok"] & (f["alpha"] < 0.99)
-    inv_om = 1.0 / f["one_minus"]
-    a, bq, cc = f["a"], f["b"], f["c"]
-    ul, vl = f["ul"], f["vl"]
     pxl = _ax(pmat, 3, 0)
     pyl = _ax(pmat, 4, 0)
-    dx = ul[:, :, None] - pxl[None, None, :]
-    dy = vl[:, :, None] - pyl[None, None, :]
-    # tangent-independent [B, Kf, P] factors, hoisted out of the 6-tangent
-    # loop (the quadratic monomials and the conic gradient are shared by
-    # every tangent; recomputing them per tangent sextuples the dominant
-    # VPU work of this kernel)
-    xx = -0.5 * (dx * dx)
-    yy = -0.5 * (dy * dy)
-    xy = dx * dy
-    gx = a[:, :, None] * dx + bq[:, :, None] * dy
-    gy = bq[:, :, None] * dx + cc[:, :, None] * dy
-    w_ts, feats_ts = [], []
-    for k in range(n_tan):
-        drows = _ax(tan_ref[:], k, 1)                   # [B, Kf, F]
-        u_t = _col(drows, _U)[:, :, None]
-        v_t = _col(drows, _V)[:, :, None]
-        a_t = _col(drows, _CA)[:, :, None]
-        b_t = _col(drows, _CB)[:, :, None]
-        c_t = _col(drows, _CC)[:, :, None]
-        logo_t = _col(drows, _LOGO)[:, :, None]
-        # tangent of s = -0.5(a dx^2 + c dy^2) - b dx dy + logo, with
-        # d(dx) = u_t, d(dy) = v_t (pixel coords are constants)
-        s_t = (
-            a_t * xx + c_t * yy
-            - b_t * xy
-            - gx * u_t
-            - gy * v_t
-            + logo_t
-        )
-        alpha_t = jnp.where(live_a, f["alpha"] * s_t, 0.0)
-        texcl_t = f["t_excl"] * _cumsum_b(-alpha_t * inv_om, reverse=False)
-        w_ts.append(jnp.where(
-            f["contrib"],
-            alpha_t * f["t_excl"] + f["alpha"] * texcl_t,
-            0.0,
-        ))
-        feats_ts.append(jnp.concatenate(
-            [
-                _cols(drows, _R0, _R0 + 3),
-                _cols(drows, _Z, _Z + 1),
-                jnp.zeros((bsz, kf, 4), jnp.float32),
-            ],
-            axis=-1,
-        ))
-    w_t = jnp.stack(w_ts, axis=1)                       # [B, T, Kf, P]
-    feats_t = jnp.stack(feats_ts, axis=1)               # [B, T, Kf, 8]
+
+    outs = None
+    touts = [None] * bt
+    # per-tangent carry: global prefix sum of -alpha_t/one_minus up to the
+    # chunk entry (the tangent of log-transmittance)
+    S_t = [None] * n_tan
+    for j, f in _forward_chunks(rows, x0, y0, pmat, width, height, kc):
+        o = _outs_from(f["w"], f["feats"], bt)
+        outs = o if outs is None else outs + o
+
+        live_a = f["ok"] & (f["alpha"] < 0.99)
+        inv_om = 1.0 / f["one_minus"]
+        a, bq, cc = f["a"], f["b"], f["c"]
+        ul, vl = f["ul"], f["vl"]
+        dx = ul[:, :, None] - pxl[None, None, :]
+        dy = vl[:, :, None] - pyl[None, None, :]
+        # tangent-independent [B, Kc, P] factors, hoisted out of the
+        # 6-tangent loop (the quadratic monomials and the conic gradient
+        # are shared by every tangent; recomputing them per tangent
+        # sextuples the dominant VPU work of this kernel)
+        xx = -0.5 * (dx * dx)
+        yy = -0.5 * (dy * dy)
+        xy = dx * dy
+        gx = a[:, :, None] * dx + bq[:, :, None] * dy
+        gy = bq[:, :, None] * dx + cc[:, :, None] * dy
+        w_ts, feats_ts = [], []
+        for k in range(n_tan):
+            drows = _kchunk(_ax(tans, k, 1), j, kc)     # [B, Kc, F]
+            u_t = _col(drows, _U)[:, :, None]
+            v_t = _col(drows, _V)[:, :, None]
+            a_t = _col(drows, _CA)[:, :, None]
+            b_t = _col(drows, _CB)[:, :, None]
+            c_t = _col(drows, _CC)[:, :, None]
+            logo_t = _col(drows, _LOGO)[:, :, None]
+            # tangent of s = -0.5(a dx^2 + c dy^2) - b dx dy + logo, with
+            # d(dx) = u_t, d(dy) = v_t (pixel coords are constants)
+            s_t = (
+                a_t * xx + c_t * yy
+                - b_t * xy
+                - gx * u_t
+                - gy * v_t
+                + logo_t
+            )
+            alpha_t = jnp.where(live_a, f["alpha"] * s_t, 0.0)
+            c_sum = -alpha_t * inv_om
+            prefix = _cumsum_b(c_sum, reverse=False)
+            if S_t[k] is not None:
+                prefix = prefix + S_t[k]
+                S_t[k] = S_t[k] + jnp.sum(c_sum, axis=1, keepdims=True)
+            else:
+                S_t[k] = jnp.sum(c_sum, axis=1, keepdims=True)
+            texcl_t = f["t_excl"] * prefix
+            w_ts.append(jnp.where(
+                f["contrib"],
+                alpha_t * f["t_excl"] + f["alpha"] * texcl_t,
+                0.0,
+            ))
+            feats_ts.append(jnp.concatenate(
+                [
+                    _cols(drows, _R0, _R0 + 3),
+                    _cols(drows, _Z, _Z + 1),
+                    jnp.zeros((bsz, kc, 4), jnp.float32),
+                ],
+                axis=-1,
+            ))
+        w_t = jnp.stack(w_ts, axis=1)                   # [B, T, Kc, P]
+        feats_t = jnp.stack(feats_ts, axis=1)           # [B, T, Kc, 8]
+        for b in range(bt):
+            # term 1: per-tile shared feats, all tangents as one
+            # [T*P, Kc] matmul
+            lhs = _ax(w_t, b, 0).transpose(0, 2, 1).reshape(n_tan * p, kc)
+            t1 = _dot3(lhs, _ax(f["feats"], b, 0)).reshape(n_tan, p, 8)
+            # term 2: shared w, tangent feats stacked along columns (lane
+            # concat — reshapes may not merge the minor dim)
+            ftb = _ax(feats_t, b, 0)                        # [T, Kc, 8]
+            rhs = jnp.concatenate(
+                [_ax(ftb, t, 0) for t in range(n_tan)], axis=1
+            )                                               # [Kc, T*8]
+            t2 = _unstack_lanes(_dot3(_ax(f["w"], b, 0).T, rhs), n_tan, 8)
+            tb = t1 + t2
+            touts[b] = tb if touts[b] is None else touts[b] + tb
+    outs_ref[:] = outs
     for b in range(bt):
-        # term 1: per-tile shared feats, all tangents as one [T*P, Kf] matmul
-        lhs = _ax(w_t, b, 0).transpose(0, 2, 1).reshape(n_tan * p, kf)
-        t1 = _dot3(lhs, _ax(f["feats"], b, 0)).reshape(n_tan, p, 8)
-        # term 2: shared w, tangent feats stacked along columns (lane
-        # concat — reshapes may not merge the minor dim)
-        ftb = _ax(feats_t, b, 0)                            # [T, Kf, 8]
-        rhs = jnp.concatenate(
-            [_ax(ftb, t, 0) for t in range(n_tan)], axis=1
-        )                                                   # [Kf, T*8]
-        t2 = _unstack_lanes(_dot3(_ax(f["w"], b, 0).T, rhs), n_tan, 8)
-        touts_ref[b] = t1 + t2
+        touts_ref[b] = touts[b]
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
@@ -563,7 +726,8 @@ def _fwd(d, tx0, ty0, pmat, tile, width, height, interpret):
     p = pmat.shape[1]
     bt = _pick_bt(n_tiles, kf)
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, width=width, height=height, bt=bt),
+        functools.partial(_fwd_kernel, width=width, height=height, bt=bt,
+                          kc=_chunk_kc(kf)),
         grid=(n_tiles // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -588,7 +752,8 @@ def _vjp_bwd(tile, width, height, interpret, res, g_outs):
     p = pmat.shape[1]
     bt = _pick_bt(n_tiles, kf)
     dd = pl.pallas_call(
-        functools.partial(_bwd_kernel, width=width, height=height, bt=bt),
+        functools.partial(_bwd_kernel, width=width, height=height, bt=bt,
+                          kc=_chunk_kc(kf)),
         grid=(n_tiles // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -623,7 +788,7 @@ def blend_lists_jvp8(d, d_tan, tx0, ty0, pmat, tile: int, width: int,
     bt = _pick_bt(n_tiles, kf, want=2)
     return pl.pallas_call(
         functools.partial(_jvp8_kernel, width=width, height=height,
-                          bt=bt, n_tan=n_tan),
+                          bt=bt, n_tan=n_tan, kc=_chunk_kc(kf)),
         grid=(n_tiles // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -929,15 +929,24 @@ def render_fo_grad_tiles(
     mask_t,
     use_huber: bool,
     delta: float,
+    gtd_t=None,
+    alpha: float = 0.95,
 ):
-    """Fused mono first-order objective + full 8-dim gradient.
+    """Fused first-order objective + full 8-dim gradient (mono and RGB-D).
 
     ONE Pallas pass computes the blend, the masked/exposed Huber residual,
     the analytic output cotangents, and the reverse blend (fo_grad_lists_
     pallas); the pose part of the gradient is then pulled back through the
     XLA preprocess via jax.vjp over tile_rows. Semantics are exactly
     value_and_grad of the tile first-order objective (slam/tracking.py
-    _fo_loss_tiles, mono branch; tested in test_pallas_lists).
+    _fo_loss_tiles; tested in test_pallas_lists).
+
+    With gtd_t ([S, P, 1] tiled gt depth) the RGB-D alpha-mix applies: the
+    kernel emits a second row-cotangent for the depth term's (globally
+    normalized) chain and the two are combined by their global scales
+    before ONE pullback — both normalizers multiply linear functions of
+    the blend outputs, so this is exact AD, not an approximation
+    (slam_utils.py:103-113).
 
     Returns (loss, l1, g8) with l1 UNSCALED (caller applies the subset
     unbiasing factor) and g8 = d(loss)/d[tau(6), ea, eb].
@@ -954,18 +963,31 @@ def render_fo_grad_tiles(
     d, pull = jax.vjp(
         lambda t: tile_rows(gauss, T_cw, intr, cfg, lists_sub, t), tau
     )
-    dd, sums = fo_grad_lists_pallas(
+    dd, dd_dep, sums = fo_grad_lists_pallas(
         d, tx0s, ty0s, pmat, gt_t, mask_t, ea, eb, tile,
         intr.width, intr.height, cfg.pallas_interpret, use_huber, delta,
-        EXPOSURE_EPS,
+        EXPOSURE_EPS, gtd_t=gtd_t,
     )
     sumsq = jnp.sum(sums[:, 0])
     l1 = jnp.sum(sums[:, 1])
-    loss = jnp.sqrt(sumsq + 1e-20)
-    c = 0.5 / loss                                  # d loss / d sumsq
-    g_tau = pull(dd * c)[0]
-    g_ea = c * jnp.sum(sums[:, 2]) * jnp.sign(ea)
-    g_eb = c * jnp.sum(sums[:, 3])
+    if gtd_t is None:
+        loss = jnp.sqrt(sumsq + 1e-20)
+        c = 0.5 / loss                              # d loss / d sumsq
+        dd_total = dd * c
+        c_rgb = c
+    else:
+        # m/m_d = 3 exactly: the rgb residual has 3 channels per pixel, the
+        # depth residual 1, over the same tile subset (_fo_loss_tiles)
+        loss_rgb = jnp.sqrt(sumsq + 1e-20)
+        sd = jnp.sum(sums[:, 4])
+        loss_dep = jnp.sqrt(sd * 3.0 + 1e-20)
+        loss = alpha * loss_rgb + (1.0 - alpha) * loss_dep
+        c_rgb = alpha * 0.5 / loss_rgb
+        c_dep = (1.0 - alpha) * 3.0 * 0.5 / loss_dep
+        dd_total = dd * c_rgb + dd_dep * c_dep
+    g_tau = pull(dd_total)[0]
+    g_ea = c_rgb * jnp.sum(sums[:, 2]) * jnp.sign(ea)
+    g_eb = c_rgb * jnp.sum(sums[:, 3])
     g8 = jnp.concatenate([g_tau, g_ea[None], g_eb[None]])
     return loss, l1, g8
 

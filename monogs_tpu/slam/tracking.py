@@ -116,6 +116,11 @@ class TrackConfig(NamedTuple):
     # under truncation at the build pose; within-frame motion only perturbs
     # near-boundary rows, which n_touched/median-depth consumers
     # (keyframing heuristics) tolerate. Implies skipping final_refine.
+    # PRECONDITION: only sound when the seed pose is within ~bin_margin px
+    # of the final pose (constant-velocity or previous-frame seeding with
+    # small per-frame motion — the bench regime); ignored (exact rebuild)
+    # when so_max_iter == 0, where lists would be frozen at T_init across
+    # the whole fo phase with no refine.
     final_reuse: bool = False
     # Plateau early-exit (0 disables): stop a phase once the best L1 has not
     # improved by a relative plateau_rtol for `patience` consecutive
@@ -412,13 +417,13 @@ def track_frame(
         )
         sub_scale = n_fine / n_sub
 
-    # fused loss+gradient kernel: eligible for the mono Huber objective on
-    # the pallas_lists subset path (RGB-D has two global sqrt normalizers,
-    # which would need two reverse chains per pass — it keeps AD)
+    # fused loss+gradient kernel: eligible for the Huber objective on the
+    # pallas_lists subset path, mono AND RGB-D (the RGB-D variant carries
+    # both globally-normalized reverse chains in one kernel pass —
+    # render_fo_grad_tiles)
     fo_fused = (
         fo_sub
         and tcfg.fo_fused
-        and tcfg.monocular
         and tcfg.use_huber
         and cfg_track.backend == "pallas_lists"
     )
@@ -436,6 +441,8 @@ def track_frame(
                 gauss, s.T, intr, cfg_track, lists_sub, tx0s, ty0s,
                 p[:6], p[6], p[7], gt_t, mask_t,
                 tcfg.use_huber, tcfg.huber_delta,
+                gtd_t=gtd_t if not tcfg.monocular else None,
+                alpha=tcfg.alpha,
             )
             l1 = l1 * sub_scale
         elif fo_sub:
@@ -699,11 +706,15 @@ def track_frame(
     # global binning by refining the so phase's frozen margin macro lists
     # at the final pose (see TrackConfig.final_refine)
     final_lists = None
-    if tcfg.final_reuse and use_lists:
+    if tcfg.final_reuse and use_lists and tcfg.so_max_iter > 0:
         # frozen full-image margin lists straight through (see
         # TrackConfig.final_reuse); render() re-masks against current-pose
-        # validity (vld_f = lists.vld & prep.valid[lists.idx])
-        final_lists = lists_so if tcfg.so_max_iter > 0 else lists_fo
+        # validity (vld_f = lists.vld & prep.valid[lists.idx]). fo-only
+        # configs (so_max_iter == 0) fall through to the exact rebuild:
+        # lists_fo would be frozen at T_init with up to fo_max_iter
+        # first-order iterations of motion and no refine at all — the
+        # weakest combination of the flag, so it is unsupported.
+        final_lists = lists_so
     elif (
         tcfg.final_refine
         and tcfg.so_max_iter > 0

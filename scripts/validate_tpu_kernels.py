@@ -166,6 +166,35 @@ def main():
 
     check("bench-config track_frame", full_track)
 
+    # --- k_fine=512 chunked kernels (round-3: K-chunk carries removed the
+    # scoped-VMEM ceiling; this is the gate for deleting the
+    # _TRACK_K_FINE_VMEM_CAP clamp) -------------------------------------
+    def kf512_track():
+        cfg512 = CFG._replace(k_fine=512 if not SMALL else 32)
+        tcfg = TrackConfig(monocular=True,
+                           fo_max_iter=10 if not SMALL else 2,
+                           so_max_iter=4 if not SMALL else 1,
+                           stack_dim=16, sketch_dim=64, bin_margin=8.0,
+                           fo_tile_frac=0.25, so_tile_frac=0.25,
+                           rebin_so_iters=2)
+        frame = make_frame_data(gt, None, 1.1, 0.01, "tum")
+        res = track_frame(scene, frame, T, jnp.float32(1.0),
+                          jnp.float32(0.0), jax.random.PRNGKey(0), INTR,
+                          cfg512, tcfg)
+        jax.block_until_ready(res.T)
+        t0 = time.time()
+        n = max(TRACK_TIMED // 2, 1)
+        for i in range(n):
+            res = track_frame(scene, frame, T, jnp.float32(1.0),
+                              jnp.float32(0.0), jax.random.PRNGKey(i), INTR,
+                              cfg512, tcfg)
+            jax.block_until_ready(res.T)
+        print(f"[tpu-validate]   kf512 track_frame (fo10/so4): "
+              f"{(time.time()-t0)/n*1000:.1f} ms/frame", flush=True)
+        assert np.isfinite(float(res.last_l1))
+
+    check("k_fine=512 chunked track_frame", kf512_track)
+
     if failures:
         print(f"[tpu-validate] FAILURES: {failures}", flush=True)
         sys.exit(1)

@@ -239,6 +239,65 @@ def test_fo_fused_grad_parity():
     np.testing.assert_allclose(g, g_ref, rtol=2e-3, atol=2e-6)
 
 
+def test_fo_fused_grad_parity_rgbd():
+    """RGB-D render_fo_grad_tiles (two reverse chains — Huber RGB + masked
+    depth — combined by their global normalizers before one pullback)
+    matches value_and_grad of the alpha-mixed tile first-order objective
+    (_fo_loss_tiles rgbd branch) through the XLA blend: loss, L1, and all 8
+    gradient components."""
+    from monogs_tpu.data import SyntheticDataset
+    from monogs_tpu.ops import se3
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import (
+        TileLists, _tile_origins, render_fo_grad_tiles, tile_images,
+    )
+    from monogs_tpu.slam.frame import make_frame_data
+    from monogs_tpu.slam.tracking import TrackConfig, _fo_loss_tiles
+
+    intr = Intrinsics(fx=120.0, fy=120.0, cx=63.5, cy=47.5,
+                      width=128, height=96)
+    cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=128,
+                       with_n_touched=False)
+    ds = SyntheticDataset(intr, n_frames=2, n_gauss=900, seed=2,
+                          sensor_type="depth", render_cfg=cfg,
+                          trans_amp=0.0, rot_amp=0.0)
+    img, dep, T_gt = ds[0]
+    frame = make_frame_data(img, dep, 1.1, 0.01, "synthetic")
+    T = se3.se3_exp(0.004 * jax.random.normal(jax.random.PRNGKey(4), (6,))
+                    ) @ T_gt
+    tcfg = TrackConfig(monocular=False)
+    lists = build_tile_lists(ds.scene, T, intr, cfg, margin=8.0)
+    tx0, ty0 = _tile_origins(intr, cfg)
+    n_fine = tx0.shape[0]
+    tsel = jax.random.permutation(jax.random.PRNGKey(9), n_fine)[:16]
+    lists_sub = TileLists(idx=lists.idx[tsel], vld=lists.vld[tsel])
+    txs, tys = tx0[tsel], ty0[tsel]
+    gt_t = tile_images(frame.gt_image, intr, cfg)[tsel]
+    mask_t = tile_images(frame.mapping_mask, intr, cfg)[tsel]
+    gtd_t = tile_images(frame.gt_depth, intr, cfg)[tsel]
+    scale = n_fine / 16.0
+    p = jnp.concatenate(
+        [0.001 * jnp.arange(6), jnp.float32(1.07)[None],
+         jnp.float32(0.015)[None]]
+    )
+
+    (loss_ref, l1_ref), g_ref = jax.value_and_grad(
+        lambda q: _fo_loss_tiles(ds.scene, T, q, intr, cfg, tcfg, lists_sub,
+                                 txs, tys, gt_t, mask_t, gtd_t, scale),
+        has_aux=True,
+    )(p)
+
+    cfg_pl = cfg._replace(backend="pallas_lists", pallas_interpret=True)
+    loss, l1, g = render_fo_grad_tiles(
+        ds.scene, T, intr, cfg_pl, lists_sub, txs, tys,
+        p[:6], p[6], p[7], gt_t, mask_t, tcfg.use_huber, tcfg.huber_delta,
+        gtd_t=gtd_t, alpha=tcfg.alpha,
+    )
+    np.testing.assert_allclose(loss, loss_ref, rtol=1e-4)
+    np.testing.assert_allclose(l1 * scale, l1_ref, rtol=1e-4)
+    np.testing.assert_allclose(g, g_ref, rtol=2e-3, atol=2e-6)
+
+
 def test_tracking_fast_path_converges():
     """Full track_frame with backend=pallas_lists (interpret) recovers a
     perturbed pose like the XLA path does."""
@@ -554,6 +613,99 @@ def test_refine_full_render_parity():
     assert (
         np.abs(np.asarray(b.n_touched) - np.asarray(a.n_touched)).max() <= 2
     )
+
+
+def test_kchunk_multi_chunk_parity():
+    """K-chunked kernels at a capacity far above the chunk size: k_fine=320
+    runs every kernel as 4 chunks of 80 (see pallas_lists._chunk_kc), with
+    transmittance / suffix / tangent-prefix carries across chunks. Forward,
+    counts, VJP, and the 6-tangent JVP must all match the (unchunked) XLA
+    blend — this is what removed the k_fine VMEM clamp
+    (runtime._TRACK_K_FINE_VMEM_CAP, round-2 VERDICT item 5)."""
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.pallas_lists import _chunk_kc
+    from monogs_tpu.render.renderer import (
+        _tile_origins, render_pose_jvp_tiles, render_tiles,
+    )
+
+    assert _chunk_kc(320) == 80 and _chunk_kc(512) == 128
+
+    gauss = make_scene(128, seed=7)
+    T = jnp.eye(4)
+    xla = XLA._replace(k_fine=320, with_n_touched=True)
+    pal = xla._replace(backend="pallas_lists", pallas_interpret=True)
+
+    # forward + counts
+    a = render(gauss, T, INTR, xla)
+    b = render(gauss, T, INTR, pal)
+    np.testing.assert_allclose(b.image, a.image, atol=2e-5)
+    np.testing.assert_allclose(b.depth, a.depth, atol=2e-4)
+    np.testing.assert_allclose(b.opacity, a.opacity, atol=2e-5)
+    np.testing.assert_array_equal(b.n_touched, a.n_touched)
+
+    # VJP through the blend (map-parameter cotangents cross chunks via the
+    # suffix carry)
+    target = a.image + 0.05
+
+    def loss(cfg):
+        def f(xyz, tau):
+            out = render(gauss._replace(xyz=xyz), T, INTR,
+                         cfg._replace(with_n_touched=False), tau=tau)
+            return jnp.mean(jnp.abs(out.image - target))
+        return f
+
+    gx_a, gt_a = jax.grad(loss(xla), argnums=(0, 1))(
+        gauss.xyz, jnp.zeros(6))
+    gx_b, gt_b = jax.grad(loss(pal), argnums=(0, 1))(
+        gauss.xyz, jnp.zeros(6))
+    np.testing.assert_allclose(gx_b, gx_a, rtol=2e-3, atol=2e-5)
+    np.testing.assert_allclose(gt_b, gt_a, rtol=2e-3, atol=2e-5)
+
+    # 6-tangent JVP (tangent-prefix carries) vs jax.jvp of the XLA tile
+    # render, one pose direction
+    cfg_t = pal._replace(with_n_touched=False)
+    lists = build_tile_lists(gauss, T, INTR, cfg_t)
+    tx0, ty0 = _tile_origins(INTR, cfg_t)
+    outs, touts = render_pose_jvp_tiles(gauss, T, INTR, cfg_t, lists,
+                                        tx0, ty0)
+    cfg_x = xla._replace(with_n_touched=False)
+    for k in (0, 4):
+        e = jnp.eye(6)[k]
+        (col, dep, acc), (col_t, dep_t, acc_t) = jax.jvp(
+            lambda tau: render_tiles(gauss, T, INTR, cfg_x, lists, tx0,
+                                     ty0, tau=tau),
+            (jnp.zeros(6),), (e,),
+        )
+        np.testing.assert_allclose(outs[..., :3], col, atol=2e-5)
+        np.testing.assert_allclose(touts[:, k, :, :3], col_t,
+                                   rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(touts[:, k, :, 4], acc_t,
+                                   rtol=2e-3, atol=2e-4)
+
+
+def test_final_reuse_n_touched_parity():
+    """final_reuse semantics (TrackConfig.final_reuse): rendering with the
+    FROZEN full-image margin lists at the build pose matches the
+    from-scratch binned render — strict-first priority selection makes
+    margin lists blend-identical under truncation there, so image and
+    n_touched must agree. Bounds the divergence final_reuse's n_touched
+    consumers (keyframing overlap, visibility pruning) inherit at zero
+    intra-frame motion; motion-induced divergence is bounded separately by
+    the bin_margin precondition (see TrackConfig)."""
+    from monogs_tpu.render import build_tile_lists, render
+
+    gauss = make_scene(128, seed=13)
+    T0 = jnp.eye(4)
+    cfg = PAL._replace(with_n_touched=True)
+    lists = build_tile_lists(gauss, T0, INTR, cfg, margin=8.0)
+    a = render(gauss, T0, INTR, cfg)                 # exact rebuild
+    b = render(gauss, T0, INTR, cfg, lists=lists)    # frozen margin lists
+    np.testing.assert_allclose(b.image, a.image, atol=1e-5)
+    np.testing.assert_allclose(b.opacity, a.opacity, atol=1e-5)
+    nt_a = np.asarray(a.n_touched)
+    nt_b = np.asarray(b.n_touched)
+    assert np.abs(nt_b - nt_a).max() <= 2, np.abs(nt_b - nt_a).max()
+    assert (nt_b > 0).sum() > 0
 
 
 def test_n_touched_parity():
