@@ -287,6 +287,12 @@ def bench_slam_fps(n_frames=32):
     cfg["Dataset"]["synthetic"]["n_frames"] = n_frames
     slam = SLAM(cfg, save_dir=None)
     res = slam.run()
+    # committed stage breakdown (VERDICT r2 item 2): where the s/frame goes
+    be = slam.backend.stage_summary()
+    total_be = sum(t for t, _ in be.values())
+    parts = ", ".join(f"{k} {t:.1f}s/{n}x" for k, (t, n) in be.items())
+    print(f"[bench] slam backend stages ({total_be:.1f}s total): {parts}",
+          file=sys.stderr, flush=True)
     ate = eval_ate(
         slam.frontend.cameras, slam.frontend.kf_indices, None, 0,
         final=True, monocular=False,

@@ -99,6 +99,13 @@ class BackEnd:
             self._mesh = make_mesh(self.n_devices)
             Log(f"Mapping sharded over {self.n_devices} devices")
 
+        # wall-clock stage accounting for the full-system FPS decomposition
+        # (reference prints per-stage averages, slam_backend.py logging;
+        # consumed by bench.py's slam bench and utils/profiling plots)
+        from ..utils.profiling import StageTimers
+
+        self.timers = StageTimers(period=1 << 30, tag="ProfBE")
+
         self.iteration_count = 0
         self.last_sent = 0
         self.viewpoints: dict[int, Keyframe] = {}
@@ -356,6 +363,15 @@ class BackEnd:
             done += n
         Log("Map refinement done")
 
+    def stage_summary(self) -> dict:
+        """{stage: (total_seconds, count)} accumulated backend wall-clock —
+        the full-system FPS decomposition (init BA / keyframe BA / idle
+        mapping / inserts / prune passes)."""
+        return {
+            k: (self.timers.sums[k], self.timers.counts[k])
+            for k in sorted(self.timers.sums)
+        }
+
     def push_to_frontend(self, tag=None):
         self.last_sent = 0
         keyframes = [
@@ -375,9 +391,11 @@ class BackEnd:
                 if self.pause or len(self.current_window) == 0 or self.single_thread:
                     time.sleep(0.01)
                     continue
-                self.map(self.current_window)
+                with self.timers.stage("map_idle"):
+                    self.map(self.current_window)
                 if self.last_sent >= 10:
-                    self.map(self.current_window, prune=True, iters=10)
+                    with self.timers.stage("map_prune"):
+                        self.map(self.current_window, prune=True, iters=10)
                     self.push_to_frontend()
                 continue
 
@@ -396,8 +414,10 @@ class BackEnd:
                 Log("Resetting the system")
                 self.reset()
                 self.viewpoints[cur_frame_idx] = kf
-                self.add_next_kf(cur_frame_idx, kf, depth_map, init=True)
-                self.initialize_map(cur_frame_idx)
+                with self.timers.stage("insert"):
+                    self.add_next_kf(cur_frame_idx, kf, depth_map, init=True)
+                with self.timers.stage("map_init"):
+                    self.initialize_map(cur_frame_idx)
                 self.push_to_frontend("init")
             elif data[0] == "keyframe":
                 cur_frame_idx, kf, current_window, depth_map = (
@@ -405,7 +425,8 @@ class BackEnd:
                 )
                 self.viewpoints[cur_frame_idx] = kf
                 self.current_window = current_window
-                self.add_next_kf(cur_frame_idx, kf, depth_map)
+                with self.timers.stage("insert"):
+                    self.add_next_kf(cur_frame_idx, kf, depth_map)
                 # fresh keyframe optimizer state, like the torch
                 # keyframe_optimizers recreation (slam_backend.py:489)
                 self._kf_adam = None
@@ -419,11 +440,13 @@ class BackEnd:
                         Log("Performing initial BA for initialization")
                     else:
                         iter_per_kf = self.mapping_itr_num
-                self.map(
-                    self.current_window, iters=iter_per_kf,
-                    frames_to_optimize=frames_to_optimize,
-                )
-                self.map(self.current_window, prune=True)
+                with self.timers.stage("map_kf"):
+                    self.map(
+                        self.current_window, iters=iter_per_kf,
+                        frames_to_optimize=frames_to_optimize,
+                    )
+                with self.timers.stage("map_prune"):
+                    self.map(self.current_window, prune=True)
                 self.push_to_frontend("keyframe")
             else:
                 raise Exception("Unprocessed data", data)

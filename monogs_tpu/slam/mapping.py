@@ -73,11 +73,12 @@ class MapConfig(NamedTuple):
     bin_margin: float = 4.0
     rebin_every: int = 25
     # Blend all B window views as one stacked-tile kernel invocation
-    # (render_batch) instead of lax.map-ing B per-view renders. A/B knob:
-    # per-view grids underfill the chip at small windows, but the stacked
-    # kernel's larger working set can lose to the sequential path at big
-    # k_fine — measure per workload.
-    batch_render: bool = True
+    # (render_batch) instead of lax.map-ing B per-view renders. A/B knob;
+    # measured on v5e at the bench workload (640x480, B=10, k_fine=96,
+    # scripts/ab_mapping.py): sequential 6.68 vs batched 4.90 BA iters/s —
+    # the stacked kernel's [B*Tf, Kf, F] gathers and intermediates are
+    # HBM-bound and lose to per-view grids, so the default is False.
+    batch_render: bool = False
 
 
 class CamBatch(NamedTuple):

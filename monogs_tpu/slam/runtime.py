@@ -68,36 +68,24 @@ def render_config_from_config(config, intr: Intrinsics) -> RenderConfig:
     )
 
 
-# The tracking Pallas kernels (fused fo loss+grad, 6-tangent jvp8) keep
-# [bt*k_fine, P]-shaped blend intermediates in scoped VMEM; even at their
-# minimum tile batch (bt=1) they exceed the 16M scoped limit once k_fine
-# passes ~256 (measured: jvp8 ~11M at bt=2/Kf=96 => ~29M at bt=1/Kf=512 on
-# v5e). Mapping-grade list capacities (k_fine 512) therefore cannot flow
-# into the tracker unclamped. 256 is the largest hardware-safe value; the
-# reference's analogous knob is first_order_num_pixels / sketched backward
-# subsampling (slam_frontend.py:88,397) — tracking never needs mapping's
-# full per-tile contributor depth.
-_TRACK_K_FINE_VMEM_CAP = 256
-
-
 def track_render_config(config, render_cfg: RenderConfig) -> RenderConfig:
     """Tracking-side RenderConfig: `Renderer.track_k_fine` override, else
-    the shared k_fine clamped to the VMEM-safe cap on the Pallas path."""
+    the shared k_fine.
+
+    Round 2 clamped tracking k_fine to 256 here because the fused tracking
+    kernels (fo loss+grad, 6-tangent jvp8) kept [bt*k_fine, P] blend
+    intermediates in scoped VMEM and OOMed past ~256. The round-3 K-chunked
+    kernels (pallas_lists._chunk_kc: ordered-scan carries across K-chunks)
+    bound VMEM by the chunk size instead, so any k_fine compiles
+    (hardware-validated at 512, scripts/validate_tpu_kernels.py) and the
+    clamp is gone; track_k_fine remains purely a speed/accuracy knob (the
+    reference's analogue is first_order num_pixels / sketched backward
+    subsampling, slam_frontend.py:88,397 — tracking rarely needs mapping's
+    full per-tile contributor depth)."""
     rc = config.get("Renderer", {})
     k = rc.get("track_k_fine")
     if k is None:
         k = render_cfg.k_fine
-        if (
-            render_cfg.backend.startswith("pallas")
-            and not render_cfg.pallas_interpret
-            and k > _TRACK_K_FINE_VMEM_CAP
-        ):
-            Log(
-                f"Clamping tracking k_fine {k} -> {_TRACK_K_FINE_VMEM_CAP} "
-                "(scoped-VMEM limit of the fused tracking kernels; set "
-                "Renderer.track_k_fine to choose explicitly)."
-            )
-            k = _TRACK_K_FINE_VMEM_CAP
     return render_cfg._replace(k_fine=int(k))
 
 
@@ -105,6 +93,21 @@ def track_config_from_config(config) -> TrackConfig:
     tr = config["Training"]
     rgn = tr["RGN"]
     lr = tr["lr"]
+    # so_from_fo_aux / final_reuse freeze macro-cell membership at the
+    # frame's SEED pose for the entire fo+so(+final) pipeline: if the total
+    # intra-frame correction exceeds bin_margin pixels the lists silently go
+    # stale (the exact failure mode the bin_margin docstring warns about).
+    # Safe under constant-velocity seeding with small per-frame motion (the
+    # bench regime); a plain previous-frame seed on fast motion is NOT.
+    # Surface the precondition loudly when a config opts in.
+    if rgn.get("so_from_fo_aux", False) or rgn.get("final_reuse", False):
+        Log(
+            "Training.RGN.so_from_fo_aux/final_reuse freeze binning at the "
+            f"seed pose: only sound when per-frame motion stays within "
+            f"bin_margin ({rgn.get('bin_margin', 0)} px); validate pose "
+            "error on your motion regime before shipping this config.",
+            tag="Warning",
+        )
     return TrackConfig(
         monocular=tr["monocular"],
         alpha=tr.get("alpha", 0.95),
@@ -176,8 +179,10 @@ def map_config_from_config(config, cameras_extent: float = 6.0) -> MapConfig:
         # in pixels (0 disables the frozen-list reuse) and rebuild cadence
         bin_margin=config.get("Renderer", {}).get("mapping_bin_margin", 4.0),
         rebin_every=config.get("Renderer", {}).get("mapping_rebin_every", 25),
+        # default False: scripts/ab_mapping.py measured the batched kernel
+        # 4.90 vs sequential 6.68 BA iters/s on v5e (see MapConfig)
         batch_render=config.get("Renderer", {}).get("mapping_batch_render",
-                                                    True),
+                                                    False),
     )
 
 
