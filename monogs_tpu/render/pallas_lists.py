@@ -612,6 +612,132 @@ def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
     return dd, dd_dep, sums.reshape(n_tiles, 8)
 
 
+def _map_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
+                     mask_ref, *refs, width: int, height: int, bt: int,
+                     kc: int, use_exposure: bool, alpha: float,
+                     m_rgb: float, m_dep: float, eps: float, rgbd: bool):
+    """Fused mapping loss + gradient: primal blend + masked-L1 chain +
+    reverse blend in ONE pass.
+
+    Mapping's objective (ops/losses.mapping_loss_rgb[d],
+    slam_utils.py:224-253) has only CONSTANT normalizers (means), so unlike
+    the tracking fo loss the full output cotangent is computable per-pixel
+    in-kernel and a SINGLE reverse chain suffices even for RGB-D (the depth
+    term folds into the depth column of g_outs). Replaces the fwd kernel +
+    image assembly + XLA elementwise-L1 AD + assembly transpose + bwd
+    kernel of the mapping iteration, and never leaves tile space.
+
+    sums [B, 8] per-tile partials: (sum |r_rgb|, sum |r_d|, d/d|ea| raw,
+    d/d(eb) raw, 0...). dd is d(loss)/d(rows) with the mean normalizers and
+    the alpha mix already applied."""
+    if rgbd:
+        gtd_ref, dd_ref, sums_ref = refs
+    else:
+        (dd_ref, sums_ref), gtd_ref = refs, None
+    g = pl.program_id(0)
+    x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
+    y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
+    rows = dat_ref[:]
+    pmat = pmat_ref[:]
+    bsz, kf, _ = rows.shape
+    outs = None
+    for _, f in _forward_chunks(rows, x0, y0, pmat, width, height, kc):
+        o = _outs_from(f["w"], f["feats"], bt)
+        outs = o if outs is None else outs + o              # [B, P, 8]
+
+    col = _cols(outs, 0, 3)                                 # [B, P, 3]
+    gt = gt_ref[:]                                          # [B, P, 3]
+    mk = mask_ref[:]                                        # [B, P, 1]
+    if use_exposure:
+        e = jnp.abs(sc_ref[0]) + eps
+        image_ab = e * col + sc_ref[1]
+    else:
+        e = 1.0
+        image_ab = col
+    r = (image_ab - gt) * mk                                # [B, P, 3]
+    sgn = jnp.sign(r)
+    w_rgb = (alpha if rgbd else 1.0) / m_rgb
+    g_col = (w_rgb * e) * sgn * mk
+
+    def tile_sum(x):                                        # [B,P,C] -> [B,1]
+        return jnp.sum(jnp.sum(x, axis=2), axis=1, keepdims=True)
+
+    l_rgb = tile_sum(jnp.abs(r))
+    gea = tile_sum(sgn * mk * col)                          # x w_rgb sign(ea) outside
+    geb = tile_sum(sgn * mk)
+    z = jnp.zeros_like(l_rgb)
+    zero1 = jnp.zeros_like(_cols(outs, 4, 5))
+    if rgbd:
+        dep = _cols(outs, 3, 4)                             # [B, P, 1]
+        gtd = gtd_ref[:]
+        dm = (gtd > 0.01).astype(jnp.float32)
+        r_d = (dep - gtd) * dm
+        g_dep = ((1.0 - alpha) / m_dep) * jnp.sign(r_d) * dm
+        l_dep = tile_sum(jnp.abs(r_d))
+    else:
+        g_dep = zero1
+        l_dep = z
+    g_outs = jnp.concatenate(
+        [g_col, g_dep, zero1, zero1, zero1, zero1], axis=-1
+    )                                                       # [B, P, 8]
+    suffix = None
+    for j, f in _reverse_chunks(rows, x0, y0, pmat, width, height, kc):
+        dd_j, suffix = _dd_from_gouts(f, pmat, g_outs, bsz, kc, suffix)
+        dd_ref[:, j * kc:(j + 1) * kc, :] = dd_j
+    sums_ref[:] = jnp.concatenate(
+        [l_rgb, l_dep, gea, geb, z, z, z, z], axis=1
+    )[None]
+
+
+def map_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb,
+                          tile: int, width: int, height: int,
+                          interpret: bool, use_exposure: bool, alpha: float,
+                          eps: float, gtd_t=None):
+    """Fused mapping loss + gradient over frozen lists (see
+    _map_grad_kernel). d: [Tf, Kf, F]; gt_t/mask_t (and gtd_t for RGB-D):
+    tiled full-image ground truth. Returns (dd [Tf, Kf, F] with normalizers
+    applied, sums [Tf, 8]). NOT itself differentiable;
+    renderer.render_map_grad assembles the parameter/pose/exposure grads."""
+    n_tiles, kf, _ = d.shape
+    p = pmat.shape[1]
+    rgbd = gtd_t is not None
+    bt = _pick_bt(n_tiles, kf, want=4)
+    sc = jnp.stack([ea, eb]).astype(jnp.float32)
+    m_rgb = 3.0 * width * height
+    m_dep = float(width * height)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec(memory_space=pltpu.SMEM),
+        pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
+        pl.BlockSpec((6, p), lambda g: (0, 0)),
+        pl.BlockSpec((bt, p, 3), lambda g: (g, 0, 0)),
+        pl.BlockSpec((bt, p, 1), lambda g: (g, 0, 0)),
+    ]
+    args = [tx0, ty0, sc, d, pmat, gt_t, mask_t]
+    if rgbd:
+        in_specs.append(pl.BlockSpec((bt, p, 1), lambda g: (g, 0, 0)))
+        args.append(gtd_t)
+    dd, sums = pl.pallas_call(
+        functools.partial(_map_grad_kernel, width=width, height=height,
+                          bt=bt, kc=_chunk_kc(kf), use_exposure=use_exposure,
+                          alpha=alpha, m_rgb=m_rgb, m_dep=m_dep, eps=eps,
+                          rgbd=rgbd),
+        grid=(n_tiles // bt,),
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((bt, kf, _F), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, bt, 8), lambda g: (g, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_tiles, kf, _F), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles // bt, bt, 8), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return dd, sums.reshape(n_tiles, 8)
+
+
 def _jvp8_kernel(tx0_ref, ty0_ref, dat_ref, tan_ref, pmat_ref,
                  outs_ref, touts_ref, *,
                  width: int, height: int, bt: int, n_tan: int, kc: int):

@@ -992,6 +992,93 @@ def render_fo_grad_tiles(
     return loss, l1, g8
 
 
+def render_map_grad(
+    gauss: GaussianArrays,
+    T_cw,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    lists: TileLists,
+    gt_t,
+    mask_t,
+    tau,
+    off,
+    ea,
+    eb,
+    initialization: bool,
+    alpha: float,
+    gtd_t=None,
+):
+    """Fused mapping loss + full gradient for ONE view over frozen lists.
+
+    ONE Pallas pass computes the blend, the masked-L1 residual chain
+    (ops/losses.mapping_loss_rgb[d] semantics, slam_utils.py:224-253 — with
+    exposure unless `initialization`), and the reverse blend; the parameter
+    / pose / screen-space-offset gradients are pulled back through the
+    full-N preprocess via one jax.vjp (which also yields `radii` for the
+    densify visibility filter — the means2d `off` hook is the torch
+    screenspace_points trick). Replaces value_and_grad over
+    render()+mapping_loss: no image assembly, no assembly transpose, no
+    separate forward+backward kernel pair.
+
+    Returns (loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii); g_leaves is
+    a ParamLeaves-ordered tuple (xyz, sh, log_scale, quat, opa_logit).
+    """
+    from .pallas_lists import map_grad_lists_pallas
+    from ..ops.losses import EXPOSURE_EPS
+
+    tile = cfg.tile
+    p = tile * tile
+    px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
+    py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
+    pmat = _pixel_basis(px_local, py_local)
+    n_tiles, kf = lists.idx.shape
+
+    def rows_fn(xyz, sh, log_scale, quat, opa_logit, tau_, off_):
+        T_eff = se3.retract(T_cw, tau_)
+        prep = preprocess(
+            xyz, log_scale, quat, opa_logit, sh, gauss.active, T_eff, intr,
+            sh_degree=cfg.sh_degree, near=cfg.near, means2d_offset=off_,
+        )
+        packed = _pack(prep)
+        d0 = packed[lists.idx]
+        vld_f = lists.vld & prep.valid[lists.idx]
+        logo = jnp.where(vld_f, d0[..., _LOGO], -1e30)
+        d = jnp.concatenate(
+            [d0[..., :_LOGO], logo[..., None], d0[..., _LOGO + 1:]], axis=-1
+        )
+        return d, prep.radius
+
+    (d, radii), pull = jax.vjp(
+        rows_fn, gauss.xyz, gauss.sh, gauss.log_scale, gauss.quat,
+        gauss.opa_logit, tau, off, has_aux=False,
+    )
+    tx0, ty0 = _tile_origins(intr, cfg)
+    use_exposure = not initialization
+    dd, sums = map_grad_lists_pallas(
+        d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile,
+        intr.width, intr.height, cfg.pallas_interpret, use_exposure,
+        alpha if gtd_t is not None else 1.0, EXPOSURE_EPS, gtd_t=gtd_t,
+    )
+    m_rgb = 3.0 * intr.width * intr.height
+    m_dep = float(intr.width * intr.height)
+    l_rgb = jnp.sum(sums[:, 0]) / m_rgb
+    if gtd_t is not None:
+        loss = alpha * l_rgb + (1.0 - alpha) * jnp.sum(sums[:, 1]) / m_dep
+        w_rgb = alpha / m_rgb
+    else:
+        loss = l_rgb
+        w_rgb = 1.0 / m_rgb
+    grads = pull((dd, jnp.zeros_like(radii)))
+    g_leaves, g_tau, g_off = grads[:5], grads[5], grads[6]
+    if use_exposure:
+        g_ea = w_rgb * jnp.sum(sums[:, 2]) * jnp.sign(ea)
+        g_eb = w_rgb * jnp.sum(sums[:, 3])
+    else:
+        g_ea = jnp.zeros_like(ea)
+        g_eb = jnp.zeros_like(eb)
+    return loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii
+
+
 def tile_images(img, intr: Intrinsics, cfg: RenderConfig):
     """[C,H,W] -> [n_fine, P, C] per-fine-tile pixels (zero-padded at the
     image edges), tiles in the same macro-major order as _tile_origins."""

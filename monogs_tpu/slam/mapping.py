@@ -79,6 +79,13 @@ class MapConfig(NamedTuple):
     # the stacked kernel's [B*Tf, Kf, F] gathers and intermediates are
     # HBM-bound and lose to per-view grids, so the default is False.
     batch_render: bool = False
+    # Fused mapping loss+gradient kernel (render_map_grad): on the
+    # pallas_lists path with frozen lists, each view's blend + masked-L1
+    # chain + reverse blend run as ONE kernel pass (mapping's mean
+    # normalizers are constants, so the whole cotangent is computable
+    # in-kernel) — no image assembly, no separate fwd+bwd kernel pair.
+    # Numerics match autodiff (test_mapping_fused_grad_parity).
+    fused_grad: bool = True
 
 
 class CamBatch(NamedTuple):
@@ -255,6 +262,28 @@ def map_iters_impl(
         jnp.float32,
     )
     use_lists = mcfg.bin_margin > 0
+    fused = (
+        use_lists
+        and mcfg.fused_grad
+        and cfg_iter.backend == "pallas_lists"
+    )
+    if fused:
+        # ground-truth images never change inside the loop: tile them once
+        # per call (the fused kernel consumes tile space directly)
+        from ..render.renderer import tile_images
+
+        gt_tb = jax.vmap(lambda im: tile_images(im, intr, cfg_iter))(
+            cams.gt_image
+        )
+        mask_tb = jax.vmap(lambda im: tile_images(im, intr, cfg_iter))(
+            cams.mapping_mask
+        )
+        gtd_tb = (
+            jax.vmap(lambda im: tile_images(im, intr, cfg_iter))(
+                cams.gt_depth
+            )
+            if not mcfg.monocular else None
+        )
 
     def build_lists(mc, cams_c):
         from ..render import build_tile_lists
@@ -279,15 +308,64 @@ def map_iters_impl(
 
         lists_b = TileLists(idx=l_idx, vld=l_vld) if use_lists else None
 
-        (loss, radii), grads = jax.value_and_grad(
-            lambda params, taus, eas, ebs, offs: _batch_loss(
-                params, taus, eas, ebs, cams_c, mc.active, offs,
-                intr, cfg_iter, mcfg, initialization, lists_b,
-            ),
-            argnums=(0, 1, 2, 3, 4),
-            has_aux=True,
-        )(mc.params, taus0, cams_c.ea, cams_c.eb, offs0)
-        g_params, g_tau, g_ea, g_eb, g_offs = grads
+        if fused:
+            from ..render.renderer import render_map_grad
+
+            gauss_it = _gauss_view(mc.params, mc.active)
+
+            def one_fused(args):
+                (T_v, ea_v, eb_v, valid_v, gt_t, mask_t, gtd_t, li, lv,
+                 tau_v, off_v) = args
+                loss_v, g_leaves, g_tau_v, g_off_v, g_ea_v, g_eb_v, radii_v = (
+                    render_map_grad(
+                        gauss_it, T_v, intr, cfg_iter,
+                        TileLists(idx=li, vld=lv), gt_t, mask_t,
+                        tau_v, off_v, ea_v, eb_v, initialization,
+                        mcfg.alpha, gtd_t=gtd_t,
+                    )
+                )
+                s = valid_v.astype(jnp.float32)
+                g_leaves = jax.tree.map(lambda x: x * s, g_leaves)
+                return (loss_v * s, g_leaves, g_tau_v * s, g_off_v * s,
+                        g_ea_v * s, g_eb_v * s, radii_v)
+
+            args = (cams_c.T, cams_c.ea, cams_c.eb, cams_c.valid,
+                    gt_tb, mask_tb,
+                    gtd_tb if gtd_tb is not None
+                    else jnp.zeros((b, 0, 0, 0)),
+                    l_idx, l_vld, taus0, offs0)
+            if gtd_tb is None:
+                def one_fused_mono(a):
+                    a = a[:6] + (None,) + a[7:]
+                    return one_fused(a)
+                outs = jax.lax.map(one_fused_mono, args)
+            else:
+                outs = jax.lax.map(one_fused, args)
+            per_view, g_leaves_b, g_tau, g_offs, g_ea, g_eb, radii = outs
+            loss = jnp.sum(per_view)
+            g_params_tuple = jax.tree.map(
+                lambda x: jnp.sum(x, axis=0), g_leaves_b
+            )
+            g_params = gm.ParamLeaves(*g_params_tuple)
+            # isotropic regularizer gradient (params-only, cheap in XLA)
+            g_iso = jax.grad(
+                lambda ls: mcfg.isotropic_weight * losses.isotropic_reg(
+                    jnp.exp(ls), mc.active
+                )
+            )(mc.params.log_scale)
+            g_params = g_params._replace(
+                log_scale=g_params.log_scale + g_iso
+            )
+        else:
+            (loss, radii), grads = jax.value_and_grad(
+                lambda params, taus, eas, ebs, offs: _batch_loss(
+                    params, taus, eas, ebs, cams_c, mc.active, offs,
+                    intr, cfg_iter, mcfg, initialization, lists_b,
+                ),
+                argnums=(0, 1, 2, 3, 4),
+                has_aux=True,
+            )(mc.params, taus0, cams_c.ea, cams_c.eb, offs0)
+            g_params, g_tau, g_ea, g_eb, g_offs = grads
         if axis_name is not None:
             # map-parameter gradients reduce over the view mesh axis (ICI)
             g_params = jax.lax.psum(g_params, axis_name)

@@ -183,6 +183,8 @@ def map_config_from_config(config, cameras_extent: float = 6.0) -> MapConfig:
         # 4.90 vs sequential 6.68 BA iters/s on v5e (see MapConfig)
         batch_render=config.get("Renderer", {}).get("mapping_batch_render",
                                                     False),
+        fused_grad=config.get("Renderer", {}).get("mapping_fused_grad",
+                                                  True),
     )
 
 

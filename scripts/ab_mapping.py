@@ -70,8 +70,12 @@ hyper = gm.MapHyper()
 N_ITERS = 30
 
 for name, kw in [
-    ("batch_render=True ", dict(batch_render=True)),
-    ("batch_render=False", dict(batch_render=False)),
+    ("batch_render=True             ", dict(batch_render=True,
+                                            fused_grad=False)),
+    ("batch_render=False            ", dict(batch_render=False,
+                                            fused_grad=False)),
+    ("fused_grad=True (round 3)     ", dict(batch_render=False,
+                                            fused_grad=True)),
 ]:
     mcfg = MapConfig(monocular=True, window_size=8, pose_window=5, **kw)
 

@@ -70,8 +70,11 @@ def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
               rebin=3, stack=16, fast_fixed=0):
     """lrx = fo learning-rate multiplier x10 (10 = stock).
     fofrac/sofrac = tile fractions x100 (25 = stock).
-    rebin = rebin_so_iters. fast_fixed=1 -> so_from_fo_aux + final_reuse
-    (skip the post-fo global rebuild and the final all-tile fine refine)."""
+    rebin = rebin_so_iters. fast_fixed: 0 = off, 1 = so_from_fo_aux +
+    final_reuse (skip the post-fo global rebuild AND the final all-tile
+    fine refine), 2 = final_reuse ONLY (the final render is pose-neutral,
+    so this keeps fx0 pose error while dropping the ~40 ms final rebuild),
+    3 = so_from_fo_aux ONLY."""
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=fo, so_max_iter=so,
         stack_dim=stack, sketch_dim=64, bin_margin=8.0,
@@ -80,7 +83,8 @@ def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
         fo_plateau_patience=fopp, so_plateau_patience=sopp,
         fo_min_iter=3 if fopp else 0,
         lr_trans=0.001 * lrx / 10.0, lr_rot=0.003 * lrx / 10.0,
-        so_from_fo_aux=bool(fast_fixed), final_reuse=bool(fast_fixed),
+        so_from_fo_aux=fast_fixed in (1, 3),
+        final_reuse=fast_fixed in (1, 2),
     )
 
     def one(i, seed_T):

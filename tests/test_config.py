@@ -85,32 +85,28 @@ def test_fast_path_knobs_plumbed_from_yaml():
     assert mcfg.bin_margin == 6.0 and mcfg.rebin_every == 10
 
 
-def test_track_render_config_clamps_vmem_unsafe_k_fine():
-    """Mapping-grade k_fine (512) must not reach the fused tracking kernels
-    on the Pallas path — they OOM scoped VMEM past ~256 (BENCH_r02: the
-    slam-fps bench died compiling the so jvp8 kernel at k_fine=512)."""
-    from monogs_tpu.slam.runtime import (
-        _TRACK_K_FINE_VMEM_CAP, track_render_config,
-    )
+def test_track_render_config_k_fine_passthrough():
+    """Tracking-side k_fine: explicit Renderer.track_k_fine wins; otherwise
+    the shared k_fine passes through UNCLAMPED — the round-3 K-chunked
+    kernels bound scoped VMEM by the chunk size, so mapping-grade k_fine
+    (512) compiles on the Pallas path (hardware-validated,
+    scripts/validate_tpu_kernels.py; round-2's _TRACK_K_FINE_VMEM_CAP is
+    gone)."""
+    from monogs_tpu.slam.runtime import track_render_config
     from monogs_tpu.render import RenderConfig
 
     rcfg = RenderConfig(k_fine=512, backend="pallas_lists")
     # explicit override wins
     out = track_render_config({"Renderer": {"track_k_fine": 128}}, rcfg)
     assert out.k_fine == 128 and rcfg.k_fine == 512
-    # no override on the hardware Pallas path: clamp
-    out = track_render_config({"Renderer": {}}, rcfg)
-    assert out.k_fine == _TRACK_K_FINE_VMEM_CAP
-    # XLA / interpret paths have no scoped-VMEM limit: pass through
-    out = track_render_config(
-        {"Renderer": {}}, rcfg._replace(backend="xla")
-    )
-    assert out.k_fine == 512
-    out = track_render_config(
-        {"Renderer": {}}, rcfg._replace(pallas_interpret=True)
-    )
-    assert out.k_fine == 512
-    # the synthetic config pins it explicitly (CPU and TPU runs identical)
+    # no override: pass through on every backend
+    for rc in (rcfg, rcfg._replace(backend="xla"),
+               rcfg._replace(pallas_interpret=True)):
+        out = track_render_config({"Renderer": {}}, rc)
+        assert out.k_fine == 512
+    # the synthetic config pins it explicitly (a speed/accuracy choice:
+    # 128 tracks that scene to the same pose error at a fraction of the
+    # per-iteration cost)
     cfg = load_config(os.path.join(REPO, "configs/synthetic/rgbd.yaml"))
     assert cfg["Renderer"]["track_k_fine"] == 128
 

@@ -166,11 +166,13 @@ def test_batch_loss_pallas_matches_xla():
     taus = jnp.zeros((b, 6))
     offs = jnp.zeros((b, n, 2))
 
+    mcfg_batch = MCFG._replace(batch_render=True)  # the path under test
+
     def run(cfg):
         return jax.value_and_grad(
             lambda params, taus, eas, ebs, offs: _batch_loss(
                 params, taus, eas, ebs, cams, m.active, offs,
-                INTR, cfg, MCFG, False, lists_b,
+                INTR, cfg, mcfg_batch, False, lists_b,
             ),
             argnums=(0, 1, 2, 3, 4), has_aux=True,
         )(m.params, taus, cams.ea, cams.eb, offs)
@@ -185,3 +187,99 @@ def test_batch_loss_pallas_matches_xla():
             np.asarray(b_), np.asarray(a), atol=5e-5,
             err_msg="gradient mismatch between batched pallas and xla paths",
         )
+
+
+def test_mapping_fused_grad_parity():
+    """render_map_grad (fused mapping loss+gradient kernel) matches
+    value_and_grad of render()+mapping_loss through the XLA blend: loss and
+    all gradients (params, tau, screen-space offset hook, exposure), mono
+    and RGB-D, with and without the initialization flag."""
+    from monogs_tpu.ops import losses
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import render_map_grad, tile_images
+
+    scene, m = scene_and_map()
+    views = target_views(scene, 2)
+    img, dep, T = views[1]
+    gt_img = img + 0.03          # bound residuals away from the L1 kink
+    gt_dep = dep + 0.05
+    mask = jnp.ones((1, INTR.height, INTR.width))
+    n = m.capacity
+    cfg_x = CFG._replace(with_n_touched=False)
+    cfg_p = cfg_x._replace(backend="pallas_lists", pallas_interpret=True)
+    gauss = m.render_view()
+    lists = build_tile_lists(gauss, T, INTR, cfg_x, margin=4.0)
+    gt_t = tile_images(gt_img, INTR, cfg_x)
+    mask_t = tile_images(mask, INTR, cfg_x)
+    gtd_t = tile_images(gt_dep, INTR, cfg_x)
+    ea, eb = jnp.float32(1.08), jnp.float32(0.02)
+    tau0, off0 = jnp.zeros(6), jnp.zeros((n, 2))
+    alpha = 0.9
+
+    for rgbd in (False, True):
+        for init in (False, True):
+            def ref_loss(leaves, tau, off, ea_, eb_):
+                g = gauss._replace(
+                    xyz=leaves[0], sh=leaves[1], log_scale=leaves[2],
+                    quat=leaves[3], opa_logit=leaves[4],
+                )
+                out = render(g, T, INTR, cfg_x, tau=tau,
+                             means2d_offset=off, lists=lists)
+                if rgbd:
+                    return losses.mapping_loss_rgbd(
+                        out.image, out.depth, gt_img, gt_dep, mask,
+                        ea_, eb_, alpha=alpha, initialization=init,
+                    )
+                return losses.mapping_loss_rgb(
+                    out.image, gt_img, mask, ea_, eb_, initialization=init,
+                )
+
+            leaves = (m.params.xyz, m.params.sh, m.params.log_scale,
+                      m.params.quat, m.params.opa_logit)
+            loss_r, g_r = jax.value_and_grad(
+                ref_loss, argnums=(0, 1, 2, 3, 4)
+            )(leaves, tau0, off0, ea, eb)
+            gl_r, gt_r, go_r, gea_r, geb_r = g_r
+
+            loss_f, gl_f, gt_f, go_f, gea_f, geb_f, radii = render_map_grad(
+                gauss, T, INTR, cfg_p, lists, gt_t, mask_t, tau0, off0,
+                ea, eb, init, alpha, gtd_t=gtd_t if rgbd else None,
+            )
+            tag = f"rgbd={rgbd} init={init}"
+            np.testing.assert_allclose(float(loss_f), float(loss_r),
+                                       rtol=2e-5, err_msg=tag)
+            for a, b_ in zip(jax.tree.leaves(gl_r), jax.tree.leaves(gl_f)):
+                np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                           atol=5e-5, err_msg=tag)
+            np.testing.assert_allclose(gt_f, gt_r, atol=5e-5, err_msg=tag)
+            np.testing.assert_allclose(go_f, go_r, atol=5e-5, err_msg=tag)
+            np.testing.assert_allclose(gea_f, gea_r, atol=5e-6, err_msg=tag)
+            np.testing.assert_allclose(geb_f, geb_r, atol=5e-6, err_msg=tag)
+            assert np.isfinite(np.asarray(radii)).all()
+
+
+def test_map_iters_fused_reduces_loss():
+    """Full map_iters with the fused mapping gradient (pallas_lists
+    interpret, MapConfig.fused_grad) descends like the autodiff path and
+    keeps densify statistics flowing (visibility from stacked radii)."""
+    scene, m = scene_and_map()
+    views = target_views(scene)
+    key = jax.random.PRNGKey(7)
+    noisy = m._replace(
+        params=m.params._replace(
+            sh=m.params.sh + 0.3 * jax.random.normal(key, m.params.sh.shape),
+            xyz=m.params.xyz
+            + 0.01 * jax.random.normal(key, m.params.xyz.shape),
+        )
+    )
+    cams = make_batch(views)
+    cfg_p = CFG._replace(backend="pallas_lists", pallas_interpret=True)
+    before = photometric_err(noisy, views)
+    m2, _, it, vis, _ = map_iters(
+        noisy, cams, 40, jnp.int32(0), jax.random.PRNGKey(0),
+        INTR, cfg_p, MCFG, HYPER,
+    )
+    after = photometric_err(m2, views)
+    assert after < 0.6 * before, (before, after)
+    assert int(it) == 40
+    assert bool(vis[0].any())
