@@ -8,9 +8,12 @@ scale-out story is different and better-structured:
     keyframes per iteration; shard the view batch over a `Mesh(("view",))`
     with shard_map — each chip renders its local views and the parameter
     gradient is a psum over ICI. The map is replicated (a few hundred MB).
-  - **gaussian parallelism** (future): shard the [N] preprocess/binning over
-    a second mesh axis and all_gather the compacted per-tile survivors —
-    the post-cull data volume is orders of magnitude below N.
+  - **gaussian parallelism** (parallel/gauss.py): shard the [N] arrays
+    themselves over a `Mesh(("gauss",))` axis — each chip preprocesses and
+    bins its local shard, ONE all_gather exchanges the compacted per-tile
+    survivor rows (the post-cull data volume, orders of magnitude below N),
+    and a lexicographic merge reproduces the single-device strict-first
+    lists. The scale-out story for maps beyond single-chip HBM.
 
 The driver validates this path on a virtual 8-device CPU mesh via
 __graft_entry__.dryrun_multichip.
