@@ -49,7 +49,7 @@ def main():
 
     # fail FAST with a diagnostic if the TPU relay is dead — jax.devices()
     # would otherwise hang forever and the bench would record nothing
-    ensure_live_backend(fallback="error")
+    ensure_live_backend(fallback="error", roundtrip=True)
     monogs_tpu.enable_compilation_cache()
     from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose
     from monogs_tpu.ops import se3

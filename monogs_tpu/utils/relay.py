@@ -48,27 +48,79 @@ def relay_alive(timeout: float = 2.0) -> bool:
     return False
 
 
-def ensure_live_backend(fallback: str = "cpu") -> str:
-    """Returns "axon" | "cpu". Must run BEFORE any jax backend init."""
+def relay_roundtrip_ok(timeout: float = 240.0) -> bool:
+    """True iff a REAL dispatch+readback round-trip through the relay works.
+
+    `relay_alive()` only proves the in-VM relay process is listening; a
+    second observed failure mode (round 3) is the relay accepting TCP while
+    the orchestrator behind its stdio pump never answers — compiles and
+    `block_until_ready` on cached trivial programs still return (the relay
+    answers those locally, see CLAUDE.md), and the first device->host
+    transfer then blocks FOREVER inside PJRT where no Python timeout can
+    interrupt it. The only safe probe is a SUBPROCESS that compiles a novel
+    program (time-seeded constant, so no compile cache can answer it) and
+    reads the result back, killed from outside on timeout.
+
+    Healthy cost: one interpreter start + one tiny compile (~15-45 s).
+    """
+    import subprocess
+    import sys
+    import time
+
+    seed = int(time.time()) % 100003
+    probe = (
+        "import jax, jax.numpy as jnp, numpy as np\n"
+        f"x = jax.jit(lambda a: jnp.sin(a * (1 + {seed})).sum())"
+        "(jnp.ones((64, 64)))\n"
+        "print(float(np.asarray(x)))\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", probe],
+            timeout=timeout,
+            stdout=subprocess.DEVNULL,
+            stderr=subprocess.DEVNULL,
+        )
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return False
+
+
+def ensure_live_backend(fallback: str = "cpu", roundtrip: bool = False) -> str:
+    """Returns "axon" | "cpu". Must run BEFORE any jax backend init.
+
+    roundtrip=True additionally verifies a full dispatch+readback through
+    the relay in a killable subprocess (see relay_roundtrip_ok) — use it in
+    every entry point that would otherwise hang un-interruptibly mid-run
+    (bench.py, sweeps, profilers)."""
     if not relay_requested():
         return "cpu" if os.environ.get("JAX_PLATFORMS") == "cpu" else "axon"
     if relay_alive():
-        return "axon"
+        if not roundtrip or relay_roundtrip_ok():
+            return "axon"
+        how = (
+            "accepts TCP yet never answers a dispatch+readback round-trip "
+            "(orchestrator behind the relay's stdio pump is wedged)"
+        )
+    else:
+        how = (
+            f"has no listener on localhost ports {_RELAY_PORTS[0]}-"
+            f"{_RELAY_PORTS[-1]}"
+        )
     if fallback == "error":
         raise RelayDeadError(
-            "TPU relay requested (PALLAS_AXON_POOL_IPS set) but nothing is "
-            f"listening on localhost ports {_RELAY_PORTS[0]}-"
-            f"{_RELAY_PORTS[-1]} — jax.devices() would hang forever. "
-            "Restore the relay or run with PALLAS_AXON_POOL_IPS= "
-            "JAX_PLATFORMS=cpu."
+            f"TPU relay requested (PALLAS_AXON_POOL_IPS set) but the relay "
+            f"{how} — jax device calls would hang forever. Restore the "
+            "relay or run with PALLAS_AXON_POOL_IPS= JAX_PLATFORMS=cpu."
         )
     import sys
 
     import jax
 
     print(
-        "[monogs_tpu] TPU relay is DOWN (no listener on localhost "
-        f"{_RELAY_PORTS[0]}-{_RELAY_PORTS[-1]}); forcing the CPU backend "
+        f"[monogs_tpu] TPU relay is DOWN ({how}); forcing the CPU backend "
         "for this process.",
         file=sys.stderr,
         flush=True,

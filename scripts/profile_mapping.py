@@ -27,7 +27,7 @@ sys.path.insert(0, "/root/repo")
 import monogs_tpu  # noqa: E402
 from monogs_tpu.utils.relay import ensure_live_backend  # noqa: E402
 
-ensure_live_backend(fallback="error")
+ensure_live_backend(fallback="error", roundtrip=True)
 monogs_tpu.enable_compilation_cache()
 
 from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose  # noqa: E402

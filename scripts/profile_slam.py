@@ -17,7 +17,7 @@ sys.path.insert(0, "/root/repo")
 import monogs_tpu  # noqa: E402
 from monogs_tpu.utils.relay import ensure_live_backend  # noqa: E402
 
-ensure_live_backend(fallback="error")
+ensure_live_backend(fallback="error", roundtrip=True)
 monogs_tpu.enable_compilation_cache()
 
 import jax  # noqa: E402

@@ -27,7 +27,8 @@ import monogs_tpu
 from monogs_tpu.utils.relay import ensure_live_backend
 
 # hardware validation is pointless without the relay: fail fast, don't hang
-ensure_live_backend(fallback="cpu" if "--small" in sys.argv else "error")
+ensure_live_backend(fallback="cpu" if "--small" in sys.argv else "error",
+                    roundtrip="--small" not in sys.argv)
 monogs_tpu.enable_compilation_cache()
 
 from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose

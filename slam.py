@@ -24,7 +24,7 @@ from monogs_tpu.utils.relay import ensure_live_backend
 
 # a dead TPU relay makes the first jax.devices() hang forever; degrade to
 # CPU loudly instead (must run before any backend init)
-ensure_live_backend(fallback="cpu")
+ensure_live_backend(fallback="cpu", roundtrip=True)
 monogs_tpu.enable_compilation_cache()
 
 

@@ -54,3 +54,43 @@ def test_no_relay_requested_is_noop(monkeypatch):
     monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
     monkeypatch.setenv("JAX_PLATFORMS", "cpu")
     assert relay.ensure_live_backend(fallback="error") == "cpu"
+
+
+def test_roundtrip_probe_timeout_returns_false(monkeypatch):
+    """A wedged data path (relay accepts TCP, orchestrator never answers)
+    must be detected by the subprocess round-trip probe, not hang."""
+    import subprocess
+
+    real_run = subprocess.run
+
+    def fake_run(cmd, timeout=None, **kw):
+        # stand-in for a probe whose readback blocks forever
+        return real_run(["sleep", "999"], timeout=timeout, **kw)
+
+    monkeypatch.setattr(relay.subprocess if hasattr(relay, "subprocess")
+                        else subprocess, "run", fake_run)
+    assert not relay.relay_roundtrip_ok(timeout=0.5)
+
+
+def test_roundtrip_gates_error_fallback(monkeypatch):
+    """Ports open but no round-trip -> RelayDeadError with the data-path
+    diagnostic (not the no-listener one)."""
+    import socket as _socket
+    import threading as _threading
+
+    srv = _socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    t = _threading.Thread(target=lambda: srv.accept(), daemon=True)
+    t.start()
+    monkeypatch.setenv("PALLAS_AXON_POOL_IPS", "127.0.0.1")
+    monkeypatch.setenv("JAX_PLATFORMS", "axon")
+    monkeypatch.setattr(relay, "_RELAY_PORTS", (port,))
+    monkeypatch.delenv("AXON_POOL_SVC_OVERRIDE", raising=False)
+    monkeypatch.setattr(relay, "relay_roundtrip_ok", lambda **kw: False)
+    try:
+        with pytest.raises(relay.RelayDeadError, match="round-trip"):
+            relay.ensure_live_backend(fallback="error", roundtrip=True)
+    finally:
+        srv.close()
