@@ -51,3 +51,4 @@ class ParamsGUI:
     intr: Any = None
     render_cfg: Any = None
     port: int = 8765
+    save_dir: Any = None  # screenshots land here (cwd if None)

@@ -57,11 +57,13 @@ _PAGE = """<!DOCTYPE html>
   mode <select id="mode"><option>rgb</option><option>depth</option>
    <option>opacity</option><option>ellipsoid</option></select>
   scale <input id="scale" type="range" min="0.05" max="1.5" step="0.05" value="1"/>
+  <label><input id="follow" type="checkbox"/> follow camera</label>
  </div>
 </div>
 <p>
  <button onclick="fetch('/pause',{method:'POST'})">pause</button>
  <button onclick="fetch('/unpause',{method:'POST'})">unpause</button>
+ <button onclick="shot()">screenshot</button> <span id="shotmsg"></span>
 </p>
 <pre id="s"></pre>
 <script>
@@ -74,9 +76,19 @@ _PAGE = """<!DOCTYPE html>
      + '&yaw=' + document.getElementById('yaw').value
      + '&pitch=' + document.getElementById('pitch').value
      + '&mode=' + document.getElementById('mode').value
-     + '&scale=' + document.getElementById('scale').value;
+     + '&scale=' + document.getElementById('scale').value
+     + '&follow=' + (document.getElementById('follow').checked ? 1 : 0);
    const s = await (await fetch('/stats')).json();
    document.getElementById('s').textContent = JSON.stringify(s, null, 2);
+ }
+ async function shot() {
+   const qs = '?yaw=' + document.getElementById('yaw').value
+     + '&pitch=' + document.getElementById('pitch').value
+     + '&mode=' + document.getElementById('mode').value
+     + '&scale=' + document.getElementById('scale').value
+     + '&follow=' + (document.getElementById('follow').checked ? 1 : 0);
+   const r = await (await fetch('/screenshot' + qs, {method:'POST'})).json();
+   document.getElementById('shotmsg').textContent = r.saved || r.error;
  }
  setInterval(tick, 1000); tick();
 </script>
@@ -93,6 +105,7 @@ class _State:
         self.t0 = time.time()
         self.lock = threading.Lock()
         self.finished = False
+        self.n_shots = 0
 
 
 def _encode_jpg(img_chw):
@@ -210,13 +223,16 @@ def _draw_frustum(img_hwc, T_kf, T_view, intr, color):
 _render_jit = None
 
 
-def _map3d_view(state: _State, yaw, pitch, dist, mode, scale):
+def _map3d_view(state: _State, yaw, pitch, dist, mode, scale, follow=False):
     """Free-orbit render of the map + frustum graph + trajectory polylines
     (the reference's 3D scene widget, gui/slam_gui.py:256-344, 514-671).
 
     The orbit camera circles the map centroid; `mode` selects rgb / depth /
     opacity / ellipsoid (opaque splats, the GL ellipsoid mode's analogue),
-    `scale` is the reference GUI's scale slider (scale_modifier)."""
+    `scale` is the reference GUI's scale slider (scale_modifier). `follow`
+    locks the view to the current tracked camera pose instead of the orbit
+    (the reference's follow-camera checkbox, gui/slam_gui.py:204-209,
+    360-380)."""
     import jax
     import jax.numpy as jnp
 
@@ -240,15 +256,18 @@ def _map3d_view(state: _State, yaw, pitch, dist, mode, scale):
     act = np.asarray(gv.active)
     if not act.any():
         return None
-    center = xyz[act].mean(axis=0)
-    spread = float(np.percentile(
-        np.linalg.norm(xyz[act] - center, axis=-1), 90
-    ))
-    d = dist if dist > 0 else max(2.5 * spread, 0.5)
-    cy, sy = np.cos(yaw), np.sin(yaw)
-    cp, sp = np.cos(pitch), np.sin(pitch)
-    eye = center + d * np.array([sy * cp, -sp, -cy * cp])
-    T_view = _lookat_w2c(eye, center)
+    if follow and pkt.current_frame is not None:
+        T_view = np.asarray(pkt.current_frame.T)
+    else:
+        center = xyz[act].mean(axis=0)
+        spread = float(np.percentile(
+            np.linalg.norm(xyz[act] - center, axis=-1), 90
+        ))
+        d = dist if dist > 0 else max(2.5 * spread, 0.5)
+        cy, sy = np.cos(yaw), np.sin(yaw)
+        cp, sp = np.cos(pitch), np.sin(pitch)
+        eye = center + d * np.array([sy * cp, -sp, -cy * cp])
+        T_view = _lookat_w2c(eye, center)
 
     if mode == "ellipsoid":
         gv = gv._replace(opa_logit=jnp.full_like(gv.opa_logit, 8.0))
@@ -348,10 +367,55 @@ def run(params):
                 pass  # client gave up (e.g. curl timeout); not an error
 
         def do_POST(self):
-            if self.path == "/pause":
+            url = urlparse(self.path)
+            if url.path == "/pause":
                 params.q_vis2main.put(Packet_vis2main(flag_pause=True))
-            elif self.path == "/unpause":
+            elif url.path == "/unpause":
                 params.q_vis2main.put(Packet_vis2main(flag_pause=False))
+            elif url.path == "/screenshot":
+                # save the tracked-camera render + the 3D map view to disk
+                # (the reference GUI's screenshot button,
+                # gui/slam_gui.py:132-136,360-380). Orbit params come
+                # through the query so the saved map3d matches the page.
+                import os
+
+                q = parse_qs(url.query)
+
+                def f(k, d="0"):
+                    return float(q.get(k, [d])[0])
+
+                root = os.path.join(params.save_dir or ".", "screenshots")
+                os.makedirs(root, exist_ok=True)
+                with state.lock:
+                    state.n_shots += 1
+                    n = state.n_shots
+                saved = []
+                img, _ = _render_view(state, [0.0] * 6)
+                if img is not None:
+                    body, ct = _encode_jpg(img)
+                    ext = "jpg" if ct == "image/jpeg" else "ppm"
+                    p = os.path.join(root, f"view_{n:04d}.{ext}")
+                    with open(p, "wb") as fh:
+                        fh.write(body)
+                    saved.append(p)
+                m3d = _map3d_view(
+                    state, yaw=f("yaw"), pitch=f("pitch", "0.5"),
+                    dist=f("dist"), mode=q.get("mode", ["rgb"])[0],
+                    scale=f("scale", "1"), follow=f("follow") > 0,
+                )
+                if m3d is not None:
+                    arr = m3d.astype(np.float32).transpose(2, 0, 1) / 255.0
+                    body, ct = _encode_jpg(arr)
+                    ext = "jpg" if ct == "image/jpeg" else "ppm"
+                    p = os.path.join(root, f"map3d_{n:04d}.{ext}")
+                    with open(p, "wb") as fh:
+                        fh.write(body)
+                    saved.append(p)
+                msg = {"saved": ", ".join(saved)} if saved else {
+                    "error": "nothing to save yet"
+                }
+                self._send(json.dumps(msg).encode(), "application/json")
+                return
             self._send(b"ok", "text/plain")
 
         def do_GET(self):
@@ -397,6 +461,7 @@ def run(params):
                     dist=f("dist"),  # 0 = auto from map spread
                     mode=q.get("mode", ["rgb"])[0],
                     scale=f("scale", "1"),
+                    follow=f("follow") > 0,
                 )
                 if img is None:
                     self._send(b"", "image/jpeg")

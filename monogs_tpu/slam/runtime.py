@@ -281,6 +281,7 @@ class SLAM:
                 gaussians=self.backend.gaussians, intr=self.intr,
                 render_cfg=self.render_cfg,
                 port=self.config.get("Renderer", {}).get("gui_port", 8765),
+                save_dir=self.save_dir,
             )
             gui_thread = threading.Thread(
                 target=slam_gui.run, args=(params_gui,), daemon=True

@@ -21,7 +21,7 @@ PORT = 8991
 
 
 @pytest.fixture(scope="module")
-def gui():
+def gui(tmp_path_factory):
     intr = Intrinsics(fx=60.0, fy=60.0, cx=15.5, cy=11.5, width=32, height=24)
     cfg = RenderConfig(tile=16, macro_tiles=2, k_macro=128, k_fine=64)
     m = gm.new_map(256, sh_degree=0)
@@ -38,9 +38,10 @@ def gui():
 
     q_m2v = queue.Queue()
     q_v2m = queue.Queue()
+    save_dir = str(tmp_path_factory.mktemp("gui_shots"))
     params = ParamsGUI(
         q_main2vis=q_m2v, q_vis2main=q_v2m, gaussians=m,
-        intr=intr, render_cfg=cfg, port=PORT,
+        intr=intr, render_cfg=cfg, port=PORT, save_dir=save_dir,
     )
     t = threading.Thread(target=slam_gui.run, args=(params,), daemon=True)
     t.start()
@@ -59,7 +60,7 @@ def gui():
                                np.float32),
     ))
     time.sleep(1.0)
-    yield q_m2v, q_v2m, t
+    yield q_m2v, q_v2m, t, save_dir
     q_m2v.put(GaussianPacket(finish=True))
     t.join(timeout=15)
 
@@ -87,7 +88,7 @@ def test_view_and_input_images(gui):
 
 
 def test_pause_unpause_roundtrip(gui):
-    q_m2v, q_v2m, _ = gui
+    q_m2v, q_v2m = gui[0], gui[1]
     req = urllib.request.Request(
         f"http://localhost:{PORT}/pause", method="POST"
     )
@@ -115,6 +116,40 @@ def test_map3d_view(gui):
         assert len(img) > 100, mode
     scaled = _get("/map3d.jpg?yaw=0&pitch=0.5&mode=rgb&scale=0.3")
     assert scaled != base  # scale slider reaches the renderer
+
+
+def test_follow_camera_mode(gui):
+    """follow=1 renders the 3D map from the current tracked camera pose
+    (reference follow-camera checkbox, gui/slam_gui.py:204-209,360-380):
+    must differ from the default orbit view and stay a valid image."""
+    orbit = _get("/map3d.jpg?yaw=1.0&pitch=0.5&mode=rgb&scale=1")
+    follow = _get("/map3d.jpg?yaw=1.0&pitch=0.5&mode=rgb&scale=1&follow=1")
+    assert follow[:2] == b"\xff\xd8" or follow[:2] == b"P6"
+    assert follow != orbit
+
+
+def test_screenshot_saves_files(gui):
+    """POST /screenshot writes the tracked view + map3d renders under
+    save_dir/screenshots (reference screenshot button,
+    gui/slam_gui.py:132-136,360-380)."""
+    import os
+
+    save_dir = gui[3]
+    req = urllib.request.Request(
+        f"http://localhost:{PORT}/screenshot?yaw=0.3&mode=rgb",
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=120) as r:
+        res = json.loads(r.read())
+    assert "saved" in res, res
+    paths = [p.strip() for p in res["saved"].split(",")]
+    assert len(paths) == 2
+    for p in paths:
+        assert os.path.commonpath([p, save_dir]) == save_dir
+        assert os.path.getsize(p) > 100
+        with open(p, "rb") as fh:
+            head = fh.read(2)
+        assert head == b"\xff\xd8" or head == b"P6"
 
 
 def test_404(gui):
