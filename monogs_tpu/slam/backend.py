@@ -116,6 +116,10 @@ class BackEnd:
         self._key = jax.random.PRNGKey(seed + 12345)
         self._np_rng = np.random.default_rng(seed + 54321)
         self._kf_adam = None  # window-pose Adam state, reset per keyframe
+        # visibility of the last map() call, reused by the covisibility
+        # prune when the map is unchanged since (see map(prune=True))
+        self._last_vis = None
+        self._last_vis_window: list | None = None
 
     # ------------------------------------------------------------------
     def _next_key(self):
@@ -154,6 +158,7 @@ class BackEnd:
             adaptive_pointsize=self.adaptive_pointsize,
         )
         self.gaussians = gm.insert(self.gaussians, leaves, count, frame_idx)
+        self._last_vis_window = None  # map changed: stored visibility stale
         n_active = int(self.gaussians.n_active)
         cap = self.gaussians.capacity
         if n_active > 0.9 * cap:
@@ -171,6 +176,8 @@ class BackEnd:
         self.current_window = []
         self.initialized = not self.monocular
         self._kf_adam = None
+        self._last_vis = None
+        self._last_vis_window = None
         self.gaussians = gm.prune(
             self.gaussians, jnp.ones((self.gaussians.capacity,), bool)
         )
@@ -279,14 +286,26 @@ class BackEnd:
 
         if prune:
             if len(window) == self.window_size:
-                cams = self._stage_batch(window, [], 0)
-                _, _, _, vis, _ = self._map_iters(
-                    self.gaussians, cams, 0, jnp.int32(self.iteration_count),
-                    self._next_key(),
-                )
-                vis_np = np.asarray(vis)
-                for rank, kf_idx in enumerate(window):
-                    self.occ_aware_visibility[kf_idx] = vis_np[rank]
+                # Reuse the visibility the immediately-preceding map() call
+                # computed: map_iters' final n_touched pass runs AFTER the
+                # last parameter/pose update, on exactly the map and poses
+                # a fresh 0-iter render here would see — but that render
+                # costs seconds (B views at mapping k_fine; 6.3 s/keyframe
+                # in the 320x240 SLAM profile). Window rows are the first
+                # window_size rows of the mapping batch. Reference
+                # semantics: slam_backend.py:251-290 also prunes on the
+                # visibility of the final mapping iteration.
+                if self._last_vis_window == list(window):
+                    vis = self._last_vis
+                else:  # fallback: a prune not preceded by map() on window
+                    cams = self._stage_batch(window, [], 0)
+                    _, _, _, vis, _ = self._map_iters(
+                        self.gaussians, cams, 0,
+                        jnp.int32(self.iteration_count), self._next_key(),
+                    )
+                    vis_np = np.asarray(vis)
+                    for rank, kf_idx in enumerate(window):
+                        self.occ_aware_visibility[kf_idx] = vis_np[rank]
                 self.gaussians, _ = covisibility_prune(
                     self.gaussians,
                     vis[: self.window_size],
@@ -298,6 +317,7 @@ class BackEnd:
                     self.mcfg,
                     prune_mode=self.prune_mode,
                 )
+                self._last_vis_window = None  # map changed by the prune
                 if not self.initialized:
                     self.initialized = True
                     Log("Initialized SLAM")
@@ -319,6 +339,8 @@ class BackEnd:
         self.iteration_count = int(it)
         self.last_sent += iters
         self._writeback(window, cams_out, vis)
+        self._last_vis = vis
+        self._last_vis_window = list(window)
 
     def color_refinement(self, iteration_total=None, chunk=2000, pool=16):
         """26k-iteration photometric refinement (:335-368), staged in chunks
@@ -356,6 +378,7 @@ class BackEnd:
                 opt_exposure=cams.opt_exposure,
             )
             n = min(chunk, iteration_total - done)
+            self._last_vis_window = None  # refinement moves the map
             self.gaussians = color_refinement_iters(
                 self.gaussians, cams, n, self._next_key(),
                 self.intr, self.render_cfg, self.mcfg, self.hyper,
