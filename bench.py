@@ -147,7 +147,8 @@ def main():
                   file=sys.stderr, flush=True)
             tcfg = tcfg._replace(**repl.get("tcfg", {}))
             cfg = cfg._replace(**repl.get("cfg", {}))
-    print(f"[bench] compile+first frame: {time.time()-t0:.1f}s",
+    compile_first_s = time.time() - t0
+    print(f"[bench] compile+first frame: {compile_first_s:.1f}s",
           file=sys.stderr, flush=True)
 
     def run_chain():
@@ -186,7 +187,7 @@ def main():
 
     # secondary metrics on stderr — the headline JSON line below stays the
     # monocular tracking number
-    secondary = {}
+    secondary = {"compile_first_frame_s": round(compile_first_s, 1)}
     frames = [d.gt_image for d in datas]
     try:
         map_ips = bench_mapping(scene, frames, poses, intr, cfg)
@@ -203,12 +204,13 @@ def main():
         print(f"[bench] rgbd bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
     try:
-        slam_fps, slam_ate = bench_slam_fps()
+        slam_fps, slam_ate, slam_warm_s = bench_slam_fps()
         print(f"[bench] full-system SLAM (synthetic rgbd, 320x240, "
               f"tracking+mapping+inserts interleaved): {slam_fps:.2f} fps, "
               f"ATE {slam_ate*1000:.2f} mm", file=sys.stderr, flush=True)
         secondary["slam_system_fps_320x240"] = round(slam_fps, 2)
         secondary["slam_ate_mm"] = round(slam_ate * 1000, 2)
+        secondary["slam_warmup_s"] = round(slam_warm_s, 1)
     except Exception as e:
         print(f"[bench] slam fps bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
@@ -264,11 +266,19 @@ def bench_rgbd_tracking(scene, intr, cfg, tcfg_mono, n_frames=8):
     return 1000.0 / ms
 
 
-def bench_slam_fps(n_frames=32):
+def bench_slam_fps(n_frames=32, warmup_frames=10):
     """Secondary: FULL-SYSTEM SLAM FPS — frames / wall-clock with tracking,
     mapping, keyframe insertion, and densify/prune interleaved on one chip
     (the reference's headline statistic, /root/reference/slam.py:123-126),
-    on the synthetic RGB-D sequence (no public datasets on disk)."""
+    on the synthetic RGB-D sequence (no public datasets on disk).
+
+    A short same-shape warmup run triggers every XLA compile (track_frame,
+    init BA, keyframe BA, insert) before the timed run: the reference's fps
+    is measured over ~2000-frame sequences where one-time warmup is
+    amortized to noise, while at 32 synthetic frames cold compiles would
+    dominate the statistic. The cold wall-clock is reported separately."""
+    import copy
+
     from monogs_tpu.eval.ate import eval_ate
     from monogs_tpu.slam.config import load_config
     from monogs_tpu.slam.runtime import SLAM
@@ -285,6 +295,24 @@ def bench_slam_fps(n_frames=32):
     cfg["Dataset"]["synthetic"]["trans_amp"] *= n_frames / stock
     cfg["Dataset"]["synthetic"]["rot_amp"] *= n_frames / stock
     cfg["Dataset"]["synthetic"]["n_frames"] = n_frames
+
+    wcfg = copy.deepcopy(cfg)
+    wcfg["Dataset"]["synthetic"]["trans_amp"] *= warmup_frames / n_frames
+    wcfg["Dataset"]["synthetic"]["rot_amp"] *= warmup_frames / n_frames
+    wcfg["Dataset"]["synthetic"]["n_frames"] = warmup_frames
+    # iteration counts are DYNAMIC args of map_iters — tiny values reuse the
+    # exact programs the timed run compiles, at a fraction of the compute;
+    # kf_interval=1 fills the keyframe window so the covisibility-prune and
+    # keyframe-BA paths compile too
+    wcfg["Training"]["init_itr_num"] = 20
+    wcfg["Training"]["mapping_itr_num"] = 10
+    wcfg["Training"]["kf_interval"] = 1
+    t0 = time.time()
+    SLAM(wcfg, save_dir=None).run()
+    warm_s = time.time() - t0
+    print(f"[bench] slam warmup ({warmup_frames} frames incl. compiles): "
+          f"{warm_s:.1f}s", file=sys.stderr, flush=True)
+
     slam = SLAM(cfg, save_dir=None)
     res = slam.run()
     # committed stage breakdown (VERDICT r2 item 2): where the s/frame goes
@@ -297,7 +325,7 @@ def bench_slam_fps(n_frames=32):
         slam.frontend.cameras, slam.frontend.kf_indices, None, 0,
         final=True, monocular=False,
     )
-    return res["fps"], float(ate)
+    return res["fps"], float(ate), warm_s
 
 
 def bench_mapping(scene, frames, poses, intr, cfg, n_iters=30):
