@@ -25,8 +25,7 @@ from .gaussian_map import ParamLeaves, inverse_sigmoid
 
 @functools.partial(
     jax.jit,
-    static_argnames=("intr", "cap", "sh_k", "downsample_factor",
-                     "adaptive_pointsize"),
+    static_argnames=("intr", "cap", "sh_k", "adaptive_pointsize"),
 )
 def keyframe_to_gaussians(
     key,
@@ -38,7 +37,10 @@ def keyframe_to_gaussians(
     intr: Intrinsics,
     cap: int,
     sh_k: int,
-    downsample_factor: int,
+    downsample_factor,  # dynamic: only gates a uniform threshold, so the
+    #                     init (pcd_downsample_init) and steady-state
+    #                     (pcd_downsample) inserts share ONE compilation
+    #                     (each variant cost 18-50 s of XLA compile on TPU)
     point_size: float,
     adaptive_pointsize: bool,
 ):

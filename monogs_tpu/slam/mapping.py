@@ -86,6 +86,16 @@ class MapConfig(NamedTuple):
     # in-kernel) — no image assembly, no separate fwd+bwd kernel pair.
     # Numerics match autodiff (test_mapping_fused_grad_parity).
     fused_grad: bool = True
+    # Compute the final visibility pass (n_touched per view) from the loop's
+    # frozen tile lists instead of B from-scratch globally-binned renders —
+    # the binning (preprocess over capacity + global instance sort + fine
+    # select, per view) dominated the pass. The lists are at most
+    # rebin_every-1 iterations stale (and always fresh right after
+    # densify/prune, whose new gaussians would otherwise read n_touched=0
+    # and be covisibility-pruned on sight); strict-first margin lists are
+    # blend-identical at the build pose, so staleness only reflects the
+    # tiny intra-rebin pose/param drift. Ignored when bin_margin == 0.
+    vis_from_lists: bool = True
 
 
 class CamBatch(NamedTuple):
@@ -492,11 +502,24 @@ def map_iters_impl(
     # only ever reads the latest value)
     gauss = _gauss_view(carry.m.params, carry.m.active)
 
-    def vis_one(cam):
-        out = render(gauss, cam.T, intr, cfg)
-        return (out.n_touched > 0) & cam.valid
+    if use_lists and mcfg.vis_from_lists:
+        def vis_one_l(args):
+            T_v, valid_v, li, lv = args
+            out = render(gauss, T_v, intr, cfg,
+                         lists=TileLists(idx=li, vld=lv))
+            return (out.n_touched > 0) & valid_v
 
-    visibility = jax.lax.map(vis_one, carry.cams)
+        visibility = jax.lax.map(
+            vis_one_l,
+            (carry.cams.T, carry.cams.valid,
+             carry.lists_idx, carry.lists_vld),
+        )
+    else:
+        def vis_one(cam):
+            out = render(gauss, cam.T, intr, cfg)
+            return (out.n_touched > 0) & cam.valid
+
+        visibility = jax.lax.map(vis_one, carry.cams)
     return carry.m, carry.cams, carry.it_count, visibility, (
         carry.kf_adam_m, carry.kf_adam_v, carry.kf_adam_t,
     )

@@ -283,3 +283,27 @@ def test_map_iters_fused_reduces_loss():
     assert after < 0.6 * before, (before, after)
     assert int(it) == 40
     assert bool(vis[0].any())
+
+
+def test_vis_from_lists_matches_global_render():
+    """The lists-based final visibility pass (MapConfig.vis_from_lists) must
+    agree with the from-scratch globally-binned render when the lists are
+    fresh (n_iters=0): strict-first margin lists are blend-identical at the
+    build pose, so the per-view visibility sets should match almost exactly
+    (margin-only entries contribute ~nothing at the build pose)."""
+    scene, m = scene_and_map()
+    views = target_views(scene)
+    cams = make_batch(views)
+
+    vises = {}
+    for flag in (False, True):
+        _, _, _, vis, _ = map_iters(
+            m, cams, 0, jnp.int32(0), jax.random.PRNGKey(0),
+            INTR, CFG, MCFG._replace(vis_from_lists=flag), HYPER,
+        )
+        vises[flag] = np.asarray(vis)
+    ref, fast = vises[False], vises[True]
+    assert ref.any() and fast.any()
+    inter = np.logical_and(ref, fast).sum()
+    union = np.logical_or(ref, fast).sum()
+    assert inter / union > 0.98, (inter, union)
