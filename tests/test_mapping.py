@@ -253,8 +253,17 @@ def test_mapping_fused_grad_parity():
                                            atol=5e-5, err_msg=tag)
             np.testing.assert_allclose(gt_f, gt_r, atol=5e-5, err_msg=tag)
             np.testing.assert_allclose(go_f, go_r, atol=5e-5, err_msg=tag)
-            np.testing.assert_allclose(gea_f, gea_r, atol=5e-6, err_msg=tag)
-            np.testing.assert_allclose(geb_f, geb_r, atol=5e-6, err_msg=tag)
+            # ea/eb gradients are f32 sums over ~300k pixel terms; the fused
+            # kernel reduces tile-wise while XLA-AD reduces globally, so the
+            # two differ by accumulation order alone (measured rel ~1.7e-5
+            # on the eb leg, value ~0.622). sqrt(N)*eps-scale noise on a sum
+            # this long makes an absolute 5e-6 bound unsatisfiable in
+            # principle — bound relatively with the same headroom as the
+            # other legs, keeping atol only for near-zero gradients.
+            np.testing.assert_allclose(gea_f, gea_r, rtol=5e-5, atol=5e-6,
+                                       err_msg=tag)
+            np.testing.assert_allclose(geb_f, geb_r, rtol=5e-5, atol=5e-6,
+                                       err_msg=tag)
             assert np.isfinite(np.asarray(radii)).all()
 
 
