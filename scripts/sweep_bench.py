@@ -47,7 +47,8 @@ scene = make_synthetic_scene(
 )
 rj = jax.jit(lambda T: render(scene, T, intr,
                               cfg._replace(with_n_touched=False)))
-jit_keys = jax.random.split(jax.random.PRNGKey(42), N_FRAMES + 2)
+_SEED = int(os.environ.get("SWEEP_SEED", "42"))  # jitter realization
+jit_keys = jax.random.split(jax.random.PRNGKey(_SEED), N_FRAMES + 2)
 jit_amp = jnp.array([0.004] * 3 + [0.002] * 3)
 
 
@@ -67,7 +68,7 @@ jax.block_until_ready(datas[-1].gt_image)
 
 
 def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
-              rebin=3, stack=16, fast_fixed=0):
+              rebin=3, stack=16, fast_fixed=0, sketch=64):
     """lrx = fo learning-rate multiplier x10 (10 = stock).
     fofrac/sofrac = tile fractions x100 (25 = stock).
     rebin = rebin_so_iters. fast_fixed: 0 = off, 1 = so_from_fo_aux +
@@ -77,7 +78,7 @@ def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
     3 = so_from_fo_aux ONLY."""
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=fo, so_max_iter=so,
-        stack_dim=stack, sketch_dim=64, bin_margin=8.0,
+        stack_dim=stack, sketch_dim=sketch, bin_margin=8.0,
         fo_tile_frac=fofrac / 100.0, so_tile_frac=sofrac / 100.0,
         rebin_so_iters=min(rebin, so),
         fo_plateau_patience=fopp, so_plateau_patience=sopp,
@@ -120,7 +121,8 @@ def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
     so_it = float(np.mean([int(o.so_iters) for o in outs]))
     ms = el / N_FRAMES * 1000
     print(f"[sweep] fo{fo:>3} so{so:>3} fopp{fopp} sopp{sopp} "
-          f"lrx{lrx} ff{fofrac} sf{sofrac} rb{rebin} st{stack} fx{fast_fixed}: "
+          f"lrx{lrx} ff{fofrac} sf{sofrac} rb{rebin} st{stack} fx{fast_fixed} "
+          f"sd{sketch} seed{_SEED}: "
           f"{ms:7.1f} ms/frame ({1000/ms:5.2f} fps)  "
           f"err mean {np.mean(errs):5.2f} max {np.max(errs):5.2f} mm  "
           f"iters fo {fo_it:4.1f} so {so_it:4.1f}", flush=True)
