@@ -1007,6 +1007,7 @@ def render_map_grad(
     initialization: bool,
     alpha: float,
     gtd_t=None,
+    sortperm=None,
 ):
     """Fused mapping loss + full gradient for ONE view over frozen lists.
 
@@ -1020,9 +1021,114 @@ def render_map_grad(
     render()+mapping_loss: no image assembly, no assembly transpose, no
     separate forward+backward kernel pair.
 
+    `sortperm=(perm, sids)` ([Tf*Kf] int32 each, the frozen argsort of
+    lists.idx.reshape(-1) and the ids in that order) switches the row
+    cotangent's route back to gaussians from XLA's scatter-add (the
+    transpose of the d0 = packed[idx] gather — measured 46 ms of the
+    144 ms mapping iteration at the bench shapes, scripts/
+    profile_mapping.py) to gather-by-frozen-permutation + sorted
+    segment_sum: the lists are frozen for rebin_every iterations, so
+    their sort is free at iteration time, and a sorted segment reduction
+    replaces the random scatter. Same adds, different order (f32
+    reassociation only — test_mapping.py parity).
+
     Returns (loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii); g_leaves is
     a ParamLeaves-ordered tuple (xyz, sh, log_scale, quat, opa_logit).
     """
+    if sortperm is None:
+        def rows_fn(xyz, sh, log_scale, quat, opa_logit, tau_, off_):
+            T_eff = se3.retract(T_cw, tau_)
+            prep = preprocess(
+                xyz, log_scale, quat, opa_logit, sh, gauss.active, T_eff,
+                intr, sh_degree=cfg.sh_degree, near=cfg.near,
+                means2d_offset=off_,
+            )
+            packed = _pack(prep)
+            d0 = packed[lists.idx]
+            vld_f = lists.vld & prep.valid[lists.idx]
+            logo = jnp.where(vld_f, d0[..., _LOGO], -1e30)
+            d = jnp.concatenate(
+                [d0[..., :_LOGO], logo[..., None], d0[..., _LOGO + 1:]],
+                axis=-1,
+            )
+            return d, prep.radius
+
+        (d, radii), pull = jax.vjp(
+            rows_fn, gauss.xyz, gauss.sh, gauss.log_scale, gauss.quat,
+            gauss.opa_logit, tau, off, has_aux=False,
+        )
+        loss, dd, g_ea, g_eb = map_grad_from_rows(
+            d, intr, cfg, gt_t, mask_t, ea, eb, initialization, alpha,
+            gtd_t=gtd_t,
+        )
+        grads = pull((dd, jnp.zeros_like(radii)))
+        g_leaves, g_tau, g_off = grads[:5], grads[5], grads[6]
+        return loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii
+
+    # --- frozen-permutation segment-sum pullback ---
+    # split the row pipeline at the gather: stage1 (preprocess+pack,
+    # differentiated by jax.vjp — elementwise transpose, cheap) | the
+    # gather+mask (transposed BY HAND as perm-gather + sorted segsum)
+    perm, sids = sortperm
+    n = gauss.xyz.shape[0]
+
+    def stage1(xyz, sh, log_scale, quat, opa_logit, tau_, off_):
+        T_eff = se3.retract(T_cw, tau_)
+        prep = preprocess(
+            xyz, log_scale, quat, opa_logit, sh, gauss.active, T_eff, intr,
+            sh_degree=cfg.sh_degree, near=cfg.near, means2d_offset=off_,
+        )
+        return _pack(prep), (prep.valid, prep.radius)
+
+    packed, pull1, (valid, radii) = jax.vjp(
+        stage1, gauss.xyz, gauss.sh, gauss.log_scale, gauss.quat,
+        gauss.opa_logit, tau, off, has_aux=True,
+    )
+    d0 = packed[lists.idx]
+    vld_f = lists.vld & valid[lists.idx]
+    logo = jnp.where(vld_f, d0[..., _LOGO], -1e30)
+    d = jnp.concatenate(
+        [d0[..., :_LOGO], logo[..., None], d0[..., _LOGO + 1:]], axis=-1
+    )
+    loss, dd, g_ea, g_eb = map_grad_from_rows(
+        d, intr, cfg, gt_t, mask_t, ea, eb, initialization, alpha,
+        gtd_t=gtd_t,
+    )
+    # transpose of the where/concat: the logo column's cotangent is
+    # gated by the mask (the -1e30 branch is constant)
+    dd_logo = jnp.where(vld_f, dd[..., _LOGO], 0.0)
+    ddm = jnp.concatenate(
+        [dd[..., :_LOGO], dd_logo[..., None], dd[..., _LOGO + 1:]],
+        axis=-1,
+    )
+    ddf = ddm.reshape(-1, _F)[perm]
+    dpacked = jax.ops.segment_sum(
+        ddf, sids, num_segments=n, indices_are_sorted=True
+    )
+    grads = pull1(dpacked)
+    g_leaves, g_tau, g_off = grads[:5], grads[5], grads[6]
+    return loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii
+
+
+def map_grad_from_rows(
+    d,
+    intr: Intrinsics,
+    cfg: RenderConfig,
+    gt_t,
+    mask_t,
+    ea,
+    eb,
+    initialization: bool,
+    alpha: float,
+    gtd_t=None,
+):
+    """The kernel/loss half of render_map_grad: one fused Pallas pass over
+    pre-gathered blend rows `d` [Tf, Kf, F] -> (loss, dL/dd, g_ea, g_eb).
+
+    Factored out so row providers other than the single-device frozen-list
+    gather can reuse the mapping-loss semantics — the gaussian-parallel
+    SPMD path (parallel/gauss_iters.py) feeds all_gather-merged rows and
+    routes dL/dd back through its own pullback."""
     from .pallas_lists import map_grad_lists_pallas
     from ..ops.losses import EXPOSURE_EPS
 
@@ -1031,27 +1137,6 @@ def render_map_grad(
     px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
     py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
     pmat = _pixel_basis(px_local, py_local)
-    n_tiles, kf = lists.idx.shape
-
-    def rows_fn(xyz, sh, log_scale, quat, opa_logit, tau_, off_):
-        T_eff = se3.retract(T_cw, tau_)
-        prep = preprocess(
-            xyz, log_scale, quat, opa_logit, sh, gauss.active, T_eff, intr,
-            sh_degree=cfg.sh_degree, near=cfg.near, means2d_offset=off_,
-        )
-        packed = _pack(prep)
-        d0 = packed[lists.idx]
-        vld_f = lists.vld & prep.valid[lists.idx]
-        logo = jnp.where(vld_f, d0[..., _LOGO], -1e30)
-        d = jnp.concatenate(
-            [d0[..., :_LOGO], logo[..., None], d0[..., _LOGO + 1:]], axis=-1
-        )
-        return d, prep.radius
-
-    (d, radii), pull = jax.vjp(
-        rows_fn, gauss.xyz, gauss.sh, gauss.log_scale, gauss.quat,
-        gauss.opa_logit, tau, off, has_aux=False,
-    )
     tx0, ty0 = _tile_origins(intr, cfg)
     use_exposure = not initialization
     dd, sums = map_grad_lists_pallas(
@@ -1068,15 +1153,13 @@ def render_map_grad(
     else:
         loss = l_rgb
         w_rgb = 1.0 / m_rgb
-    grads = pull((dd, jnp.zeros_like(radii)))
-    g_leaves, g_tau, g_off = grads[:5], grads[5], grads[6]
     if use_exposure:
         g_ea = w_rgb * jnp.sum(sums[:, 2]) * jnp.sign(ea)
         g_eb = w_rgb * jnp.sum(sums[:, 3])
     else:
         g_ea = jnp.zeros_like(ea)
         g_eb = jnp.zeros_like(eb)
-    return loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii
+    return loss, dd, g_ea, g_eb
 
 
 def tile_images(img, intr: Intrinsics, cfg: RenderConfig):

@@ -86,6 +86,15 @@ class MapConfig(NamedTuple):
     # in-kernel) — no image assembly, no separate fwd+bwd kernel pair.
     # Numerics match autodiff (test_mapping_fused_grad_parity).
     fused_grad: bool = True
+    # Route the fused path's row-cotangent scatter (the transpose of the
+    # packed[lists.idx] gather — 46 of 144 ms/iter at bench shapes,
+    # scripts/profile_mapping.py) through a FROZEN sorted permutation +
+    # segment_sum instead of XLA's random scatter-add: the lists are
+    # frozen for rebin_every iterations, so argsort-ing them is paid once
+    # per rebuild and each iteration does a contiguous perm-gather + a
+    # sorted segment reduction. Same adds, different order (f32
+    # reassociation only). Requires fused_grad + bin_margin > 0.
+    scatter_segsum: bool = True
     # Compute the final visibility pass (n_touched per view) from the loop's
     # frozen tile lists instead of B from-scratch globally-binned renders —
     # the binning (preprocess over capacity + global instance sort + fine
@@ -219,6 +228,8 @@ class MapStepCarry(NamedTuple):
     lists_idx: jax.Array    # [B, Tf, Kf] frozen per-view tile lists
     lists_vld: jax.Array
     since_rebin: jax.Array  # iterations since the lists were rebuilt
+    sort_perm: jax.Array    # [B, Tf*Kf] frozen argsort of lists_idx flat
+    sort_sid: jax.Array     # [B, Tf*Kf] lists_idx flat in sorted order
 
 
 def new_kf_adam(b: int):
@@ -277,6 +288,17 @@ def map_iters_impl(
         and mcfg.fused_grad
         and cfg_iter.backend == "pallas_lists"
     )
+    use_segsum = fused and mcfg.scatter_segsum
+
+    def sort_lists(l_idx):
+        """Frozen scatter order: per view, argsort of the flat list ids
+        (paid once per rebuild, consumed every iteration by the
+        segment-sum pullback in render_map_grad)."""
+        flat = l_idx.reshape(b, -1)
+        perm = jnp.argsort(flat, axis=1).astype(jnp.int32)
+        sid = jnp.take_along_axis(flat, perm, axis=1)
+        return perm, sid
+
     if fused:
         # ground-truth images never change inside the loop: tile them once
         # per call (the fused kernel consumes tile space directly)
@@ -308,7 +330,7 @@ def map_iters_impl(
 
     def body(_, carry: MapStepCarry):
         (mc, cams_c, kam, kav, kat, itc, key,
-         l_idx, l_vld, since) = carry
+         l_idx, l_vld, since, s_perm, s_sid) = carry
         itc = itc + 1
         key, k_dens = jax.random.split(key)
 
@@ -325,13 +347,14 @@ def map_iters_impl(
 
             def one_fused(args):
                 (T_v, ea_v, eb_v, valid_v, gt_t, mask_t, gtd_t, li, lv,
-                 tau_v, off_v) = args
+                 tau_v, off_v, pv, sv) = args
                 loss_v, g_leaves, g_tau_v, g_off_v, g_ea_v, g_eb_v, radii_v = (
                     render_map_grad(
                         gauss_it, T_v, intr, cfg_iter,
                         TileLists(idx=li, vld=lv), gt_t, mask_t,
                         tau_v, off_v, ea_v, eb_v, initialization,
                         mcfg.alpha, gtd_t=gtd_t,
+                        sortperm=(pv, sv) if use_segsum else None,
                     )
                 )
                 s = valid_v.astype(jnp.float32)
@@ -343,7 +366,7 @@ def map_iters_impl(
                     gt_tb, mask_tb,
                     gtd_tb if gtd_tb is not None
                     else jnp.zeros((b, 0, 0, 0)),
-                    l_idx, l_vld, taus0, offs0)
+                    l_idx, l_vld, taus0, offs0, s_perm, s_sid)
             if gtd_tb is None:
                 def one_fused_mono(a):
                     a = a[:6] + (None,) + a[7:]
@@ -468,16 +491,23 @@ def map_iters_impl(
             # (densify/prune inserts slots no stale list references)
             since = since + 1
             need = (since >= mcfg.rebin_every) | do_dens
-            lists_new = jax.lax.cond(
+
+            def rebuild():
+                ln = build_lists(mc, cams_c)
+                pn, sn = (
+                    sort_lists(ln.idx) if use_segsum else (s_perm, s_sid)
+                )
+                return ln.idx, ln.vld, pn, sn
+
+            l_idx, l_vld, s_perm, s_sid = jax.lax.cond(
                 need,
-                lambda: build_lists(mc, cams_c),
-                lambda: TileLists(idx=l_idx, vld=l_vld),
+                rebuild,
+                lambda: (l_idx, l_vld, s_perm, s_sid),
             )
-            l_idx, l_vld = lists_new.idx, lists_new.vld
             since = jnp.where(need, 0, since)
 
         return MapStepCarry(mc, cams_c, kam, kav, kat, itc, key,
-                            l_idx, l_vld, since)
+                            l_idx, l_vld, since, s_perm, s_sid)
 
     if kf_adam is None:
         kf_adam = new_kf_adam(b)
@@ -488,12 +518,18 @@ def map_iters_impl(
     else:
         z = jnp.zeros((b, 1, 1))
         lists0 = TileLists(idx=z.astype(jnp.int32), vld=z.astype(bool))
+    if use_segsum:
+        perm0, sid0 = sort_lists(lists0.idx)
+    else:
+        zi = jnp.zeros((b, 1), jnp.int32)
+        perm0, sid0 = zi, zi
     carry = MapStepCarry(
         m=m, cams=cams,
         kf_adam_m=kf_adam[0], kf_adam_v=kf_adam[1],
         kf_adam_t=kf_adam[2], it_count=it_count, key=key,
         lists_idx=lists0.idx, lists_vld=lists0.vld,
         since_rebin=jnp.int32(0),
+        sort_perm=perm0, sort_sid=sid0,
     )
     carry = jax.lax.fori_loop(0, n_iters, body, carry)
 

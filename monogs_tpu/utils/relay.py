@@ -62,30 +62,39 @@ def relay_roundtrip_ok(timeout: float = 240.0) -> bool:
     reads the result back, killed from outside on timeout.
 
     Healthy cost: one interpreter start + one tiny compile (~15-45 s).
+
+    Retries once on timeout: the probe subprocess needs real CPU time
+    (interpreter start + trace + compile) BEFORE it ever reaches the
+    relay, and this VM has ONE core — a concurrent heavy CPU job can
+    starve the probe past the deadline and fake a "wedged" verdict
+    (observed round 4: a healthy relay failed two probes launched next
+    to CPU pytest runs, then answered a quiet-machine probe instantly).
     """
     import subprocess
     import sys
     import time
 
-    seed = int(time.time()) % 100003
-    probe = (
-        "import jax, jax.numpy as jnp, numpy as np\n"
-        f"x = jax.jit(lambda a: jnp.sin(a * (1 + {seed})).sum())"
-        "(jnp.ones((64, 64)))\n"
-        "print(float(np.asarray(x)))\n"
-    )
-    try:
-        r = subprocess.run(
-            [sys.executable, "-c", probe],
-            timeout=timeout,
-            stdout=subprocess.DEVNULL,
-            stderr=subprocess.DEVNULL,
+    for attempt in (0, 1):
+        seed = (int(time.time()) + attempt * 7919) % 100003
+        probe = (
+            "import jax, jax.numpy as jnp, numpy as np\n"
+            f"x = jax.jit(lambda a: jnp.sin(a * (1 + {seed})).sum())"
+            "(jnp.ones((64, 64)))\n"
+            "print(float(np.asarray(x)))\n"
         )
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-    except OSError:
-        return False
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", probe],
+                timeout=timeout,
+                stdout=subprocess.DEVNULL,
+                stderr=subprocess.DEVNULL,
+            )
+            return r.returncode == 0
+        except subprocess.TimeoutExpired:
+            continue
+        except OSError:
+            return False
+    return False
 
 
 def ensure_live_backend(fallback: str = "cpu", roundtrip: bool = False) -> str:

@@ -267,6 +267,61 @@ def test_mapping_fused_grad_parity():
             assert np.isfinite(np.asarray(radii)).all()
 
 
+def test_mapping_segsum_scatter_parity():
+    """render_map_grad with the frozen-permutation segment-sum pullback
+    (sortperm) matches the XLA scatter-add pullback: the same per-row adds
+    land in a different order, so every gradient agrees to f32
+    reassociation noise."""
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import render_map_grad, tile_images
+
+    scene, m = scene_and_map()
+    views = target_views(scene, 2)
+    img, dep, T = views[1]
+    gt_img = img + 0.03
+    gt_dep = dep + 0.05
+    mask = jnp.ones((1, INTR.height, INTR.width))
+    n = m.capacity
+    cfg_p = CFG._replace(with_n_touched=False, backend="pallas_lists",
+                         pallas_interpret=True)
+    gauss = m.render_view()
+    lists = build_tile_lists(gauss, T, INTR, cfg_p, margin=4.0)
+    gt_t = tile_images(gt_img, INTR, cfg_p)
+    mask_t = tile_images(mask, INTR, cfg_p)
+    gtd_t = tile_images(gt_dep, INTR, cfg_p)
+    ea, eb = jnp.float32(1.08), jnp.float32(0.02)
+    tau0, off0 = jnp.zeros(6), jnp.zeros((n, 2))
+
+    flat = lists.idx.reshape(-1)
+    perm = jnp.argsort(flat).astype(jnp.int32)
+    sids = flat[perm]
+
+    for rgbd in (False, True):
+        ref = render_map_grad(
+            gauss, T, INTR, cfg_p, lists, gt_t, mask_t, tau0, off0,
+            ea, eb, False, 0.9, gtd_t=gtd_t if rgbd else None,
+        )
+        out = render_map_grad(
+            gauss, T, INTR, cfg_p, lists, gt_t, mask_t, tau0, off0,
+            ea, eb, False, 0.9, gtd_t=gtd_t if rgbd else None,
+            sortperm=(perm, sids),
+        )
+        tag = f"rgbd={rgbd}"
+        np.testing.assert_allclose(float(out[0]), float(ref[0]),
+                                   rtol=1e-6, err_msg=tag)
+        for a, b_ in zip(jax.tree.leaves(ref[1]), jax.tree.leaves(out[1])):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=1e-5, err_msg=tag)
+        np.testing.assert_allclose(out[2], ref[2], atol=1e-5, err_msg=tag)
+        np.testing.assert_allclose(out[3], ref[3], atol=1e-5, err_msg=tag)
+        np.testing.assert_allclose(out[4], ref[4], rtol=1e-5, atol=1e-7,
+                                   err_msg=tag)
+        np.testing.assert_allclose(out[5], ref[5], rtol=1e-5, atol=1e-7,
+                                   err_msg=tag)
+        np.testing.assert_array_equal(np.asarray(out[6]),
+                                      np.asarray(ref[6]), err_msg=tag)
+
+
 def test_map_iters_fused_reduces_loss():
     """Full map_iters with the fused mapping gradient (pallas_lists
     interpret, MapConfig.fused_grad) descends like the autodiff path and
