@@ -88,12 +88,43 @@ class BackEnd:
         self.point_size = ds.get("point_size", 0.01)
         self.adaptive_pointsize = ds.get("adaptive_pointsize", True)
 
-        # multi-chip view-parallel mapping (parallel/mesh.py): shard the
-        # window batch over a Parallel.n_devices mesh; 1 = single device
+        # multi-chip mapping (parallel/): `Parallel.n_devices` shards the
+        # keyframe-view batch over a "view" axis (parallel/mesh.py);
+        # `Parallel.gauss_devices` shards the MAP ITSELF over a "gauss"
+        # axis (parallel/gauss_iters.py — no reference analogue, its
+        # rasterizer assumes the whole model on one GPU). Both > 1 makes
+        # a 2-D ("view", "gauss") mesh. 1/absent = single device.
         par = config.get("Parallel", {}) or {}
         self.n_devices = int(par.get("n_devices", 1))
+        self.gauss_devices = int(par.get("gauss_devices", 1))
         self._mesh = None
-        if self.n_devices > 1:
+        self._gauss_mesh = None
+        if self.gauss_devices > 1:
+            from ..parallel.gauss_iters import make_gauss_mesh2
+
+            if render_cfg.backend != "pallas_lists":
+                raise ValueError(
+                    "Parallel.gauss_devices needs Renderer.backend="
+                    "'pallas_lists' (the gauss-sharded mapping loop is "
+                    "built on the fused Pallas loss/grad and counts "
+                    "kernels; set Renderer.pallas_interpret for CPU runs)"
+                )
+            if self.n_devices > 1:
+                self._gauss_mesh = make_gauss_mesh2(
+                    self.n_devices, self.gauss_devices
+                )
+            else:
+                from jax.sharding import Mesh
+
+                self._gauss_mesh = Mesh(
+                    np.asarray(jax.devices()[: self.gauss_devices]),
+                    ("gauss",),
+                )
+            Log(
+                f"Mapping sharded over mesh {dict(self._gauss_mesh.shape)}"
+                " (map over 'gauss')"
+            )
+        elif self.n_devices > 1:
             from ..parallel.mesh import make_mesh
 
             self._mesh = make_mesh(self.n_devices)
@@ -128,6 +159,13 @@ class BackEnd:
 
     def _map_iters(self, m, cams, n_iters, it_count, key, **kw):
         """map_iters, routed through the device mesh when configured."""
+        if self._gauss_mesh is not None:
+            from ..parallel.gauss_iters import gp_sharded_map_iters
+
+            return gp_sharded_map_iters(
+                m, cams, n_iters, it_count, key, self._gauss_mesh,
+                self.intr, self.render_cfg, self.mcfg, self.hyper, **kw,
+            )
         if self._mesh is None:
             return map_iters(
                 m, cams, n_iters, it_count, key,
