@@ -60,20 +60,35 @@ from .renderer import (
 )
 
 
-def _pick_bt(n_tiles: int, kf: int = 96, want: int = 8) -> int:
-    """Tile-batch (block) size for the list kernels.
+def _pick_bt_kc(n_tiles: int, kf: int = 96, want: int = 8):
+    """Tile-batch (block) size + matched K-chunk for the list kernels.
 
     Every kernel's scoped-VMEM footprint scales ~ bt*kc (the [bt*Kc, P]
-    per-chunk blend intermediates dominate; kernels scan K in chunks of
-    _chunk_kc(kf) with a transmittance carry, so capacity beyond the chunk
-    size costs no VMEM). The per-kernel `want` values are calibrated at
-    Kc=96 (measured fits on v5e, 16M scoped limit)."""
+    per-chunk blend intermediates dominate; kernels scan K in chunks with
+    a transmittance carry, so capacity beyond the chunk size costs no
+    VMEM). The per-kernel `want` values are calibrated at Kc=96 (measured
+    fits on v5e, 16M scoped limit).
+
+    bt and kc are chosen JOINTLY: when the VMEM budget at the natural
+    chunk _chunk_kc(kf) would force bt=1, the chunk is halved instead —
+    smaller chunks cost only more scan trips, while bt=1 blocks trip a
+    Mosaic relayout bug ("Invalid relayout ... vector<1x256xf32>",
+    observed on v5e at the RGB-D fused-fo kernel with k_fine=128,
+    want=2 -> kc=128, cap=1; scripts/repro_mosaic_tf.py)."""
     kc = _chunk_kc(kf)
-    cap = max(1, (want * 96) // max(kc, 1))
-    for bt in (8, 4, 2, 1):
-        if bt <= min(want, cap) and n_tiles % bt == 0:
-            return bt
-    return 1
+    while True:
+        cap = max(1, (want * 96) // max(kc, 1))
+        for bt in (8, 4, 2):
+            if bt <= min(want, cap) and n_tiles % bt == 0:
+                return bt, kc
+        if kc > 16:
+            kc = _chunk_kc(kf, cap=kc - 16)
+            continue
+        return 1, kc
+
+
+def _pick_bt(n_tiles: int, kf: int = 96, want: int = 8) -> int:
+    return _pick_bt_kc(n_tiles, kf, want)[0]
 
 
 def _ax(x, i, axis):
@@ -329,10 +344,10 @@ def blend_lists_pallas_counts(d, tx0, ty0, pmat, tile: int, width: int,
     differentiated."""
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
-    bt = _pick_bt(n_tiles, kf)
+    bt, kc = _pick_bt_kc(n_tiles, kf)
     outs, cnts = pl.pallas_call(
         functools.partial(_fwd_counts_kernel, width=width, height=height,
-                          bt=bt, kc=_chunk_kc(kf)),
+                          bt=bt, kc=kc),
         grid=(n_tiles // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -569,7 +584,7 @@ def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
     # alive together); bt=4 halves the [bt*Kf, P] intermediates and fits.
     # The RGB-D variant keeps a SECOND reverse chain's temporaries alive too
     # — bt=2 keeps it safely inside the scoped limit.
-    bt = _pick_bt(n_tiles, kf, want=2 if rgbd else 4)
+    bt, kc = _pick_bt_kc(n_tiles, kf, want=2 if rgbd else 4)
     sc = jnp.stack([ea, eb]).astype(jnp.float32)
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -597,7 +612,7 @@ def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
         args.append(gtd_t)
     outs = pl.pallas_call(
         functools.partial(_fo_grad_kernel, width=width, height=height,
-                          bt=bt, kc=_chunk_kc(kf), use_huber=use_huber,
+                          bt=bt, kc=kc, use_huber=use_huber,
                           delta=delta, eps=eps, rgbd=rgbd),
         grid=(n_tiles // bt,),
         in_specs=in_specs,
@@ -615,7 +630,8 @@ def fo_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile: int,
 def _map_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
                      mask_ref, *refs, width: int, height: int, bt: int,
                      kc: int, use_exposure: bool, alpha: float,
-                     m_rgb: float, m_dep: float, eps: float, rgbd: bool):
+                     m_rgb: float, m_dep: float, eps: float, rgbd: bool,
+                     with_madd: bool = False):
     """Fused mapping loss + gradient: primal blend + masked-L1 chain +
     reverse blend in ONE pass.
 
@@ -630,6 +646,9 @@ def _map_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
     sums [B, 8] per-tile partials: (sum |r_rgb|, sum |r_d|, d/d|ea| raw,
     d/d(eb) raw, 0...). dd is d(loss)/d(rows) with the mean normalizers and
     the alpha mix already applied."""
+    madd_ref = None
+    if with_madd:
+        madd_ref, refs = refs[0], refs[1:]
     if rgbd:
         gtd_ref, dd_ref, sums_ref = refs
     else:
@@ -638,6 +657,18 @@ def _map_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
     x0 = jnp.stack([tx0_ref[g * bt + i] for i in range(bt)])
     y0 = jnp.stack([ty0_ref[g * bt + i] for i in range(bt)])
     rows = dat_ref[:]
+    if with_madd:
+        # in-kernel validity mask: the caller passes raw gathered rows and
+        # an additive logo column (0 valid / -1e30 invalid) instead of
+        # materializing the masked-concat copy of the whole row array in
+        # HBM (74 MB/view-batch at bench shapes, twice per iteration with
+        # its transpose). d(logo+madd)/d(logo) = 1, and masked rows blend
+        # with w = 0, so dd is exactly the masked pullback.
+        rows = jnp.concatenate(
+            [rows[:, :, :_LOGO],
+             rows[:, :, _LOGO:_LOGO + 1] + madd_ref[:],
+             rows[:, :, _LOGO + 1:]], axis=-1,
+        )
     pmat = pmat_ref[:]
     bsz, kf, _ = rows.shape
     outs = None
@@ -692,16 +723,20 @@ def _map_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
 def map_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb,
                           tile: int, width: int, height: int,
                           interpret: bool, use_exposure: bool, alpha: float,
-                          eps: float, gtd_t=None):
+                          eps: float, gtd_t=None, madd=None):
     """Fused mapping loss + gradient over frozen lists (see
     _map_grad_kernel). d: [Tf, Kf, F]; gt_t/mask_t (and gtd_t for RGB-D):
     tiled full-image ground truth. Returns (dd [Tf, Kf, F] with normalizers
     applied, sums [Tf, 8]). NOT itself differentiable;
-    renderer.render_map_grad assembles the parameter/pose/exposure grads."""
+    renderer.render_map_grad assembles the parameter/pose/exposure grads.
+
+    `madd` [Tf, Kf] f32 (0 valid / -1e30 invalid): apply the per-row
+    validity mask to the logo column IN-KERNEL — `d` is then the raw
+    gathered rows and the caller skips the masked-concat copy."""
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
     rgbd = gtd_t is not None
-    bt = _pick_bt(n_tiles, kf, want=4)
+    bt, kc = _pick_bt_kc(n_tiles, kf, want=4)
     sc = jnp.stack([ea, eb]).astype(jnp.float32)
     m_rgb = 3.0 * width * height
     m_dep = float(width * height)
@@ -715,14 +750,20 @@ def map_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb,
         pl.BlockSpec((bt, p, 1), lambda g: (g, 0, 0)),
     ]
     args = [tx0, ty0, sc, d, pmat, gt_t, mask_t]
+    if madd is not None:
+        # [Tf, Kf, 1] so both trailing block dims equal the array dims
+        # (Mosaic rejects a (bt, kf) block: bt is neither a multiple of 8
+        # nor the full Tf)
+        in_specs.append(pl.BlockSpec((bt, kf, 1), lambda g: (g, 0, 0)))
+        args.append(madd[:, :, None])
     if rgbd:
         in_specs.append(pl.BlockSpec((bt, p, 1), lambda g: (g, 0, 0)))
         args.append(gtd_t)
     dd, sums = pl.pallas_call(
         functools.partial(_map_grad_kernel, width=width, height=height,
-                          bt=bt, kc=_chunk_kc(kf), use_exposure=use_exposure,
+                          bt=bt, kc=kc, use_exposure=use_exposure,
                           alpha=alpha, m_rgb=m_rgb, m_dep=m_dep, eps=eps,
-                          rgbd=rgbd),
+                          rgbd=rgbd, with_madd=madd is not None),
         grid=(n_tiles // bt,),
         in_specs=in_specs,
         out_specs=[
@@ -850,10 +891,10 @@ def blend_lists_pallas(d, tx0, ty0, pmat, tile: int, width: int, height: int,
 def _fwd(d, tx0, ty0, pmat, tile, width, height, interpret):
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
-    bt = _pick_bt(n_tiles, kf)
+    bt, kc = _pick_bt_kc(n_tiles, kf)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, width=width, height=height, bt=bt,
-                          kc=_chunk_kc(kf)),
+                          kc=kc),
         grid=(n_tiles // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -876,10 +917,10 @@ def _vjp_bwd(tile, width, height, interpret, res, g_outs):
     d, tx0, ty0, pmat = res
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
-    bt = _pick_bt(n_tiles, kf)
+    bt, kc = _pick_bt_kc(n_tiles, kf)
     dd = pl.pallas_call(
         functools.partial(_bwd_kernel, width=width, height=height, bt=bt,
-                          kc=_chunk_kc(kf)),
+                          kc=kc),
         grid=(n_tiles // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -911,10 +952,10 @@ def blend_lists_jvp8(d, d_tan, tx0, ty0, pmat, tile: int, width: int,
     p = pmat.shape[1]
     # n_tan tangent pushforwards multiply the kernel's live VMEM by ~n_tan;
     # bt=2 at Kf=96/P=256 measured 11M scoped (bt=4 OOMed the 16M limit)
-    bt = _pick_bt(n_tiles, kf, want=2)
+    bt, kc = _pick_bt_kc(n_tiles, kf, want=2)
     return pl.pallas_call(
         functools.partial(_jvp8_kernel, width=width, height=height,
-                          bt=bt, n_tan=n_tan, kc=_chunk_kc(kf)),
+                          bt=bt, n_tan=n_tan, kc=kc),
         grid=(n_tiles // bt,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

@@ -1121,6 +1121,7 @@ def map_grad_from_rows(
     initialization: bool,
     alpha: float,
     gtd_t=None,
+    madd=None,
 ):
     """The kernel/loss half of render_map_grad: one fused Pallas pass over
     pre-gathered blend rows `d` [Tf, Kf, F] -> (loss, dL/dd, g_ea, g_eb).
@@ -1128,7 +1129,11 @@ def map_grad_from_rows(
     Factored out so row providers other than the single-device frozen-list
     gather can reuse the mapping-loss semantics — the gaussian-parallel
     SPMD path (parallel/gauss_iters.py) feeds all_gather-merged rows and
-    routes dL/dd back through its own pullback."""
+    routes dL/dd back through its own pullback.
+
+    `madd` [Tf, Kf] (0 valid / -1e30 invalid) applies the validity mask to
+    the logo column in-kernel: pass RAW gathered rows and skip the
+    masked-concat row copy (and its transpose)."""
     from .pallas_lists import map_grad_lists_pallas
     from ..ops.losses import EXPOSURE_EPS
 
@@ -1143,6 +1148,7 @@ def map_grad_from_rows(
         d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile,
         intr.width, intr.height, cfg.pallas_interpret, use_exposure,
         alpha if gtd_t is not None else 1.0, EXPOSURE_EPS, gtd_t=gtd_t,
+        madd=madd,
     )
     m_rgb = 3.0 * intr.width * intr.height
     m_dep = float(intr.width * intr.height)

@@ -94,7 +94,28 @@ class MapConfig(NamedTuple):
     # per rebuild and each iteration does a contiguous perm-gather + a
     # sorted segment reduction. Same adds, different order (f32
     # reassociation only). Requires fused_grad + bin_margin > 0.
-    scatter_segsum: bool = True
+    # MEASURED NO WIN on v5e (scripts/ab_scatter.py: 138.5 -> 137.7
+    # ms/iter, within noise; scripts/bench_gather.py isolated: at-add
+    # 19.5 vs perm+segsum 19.5 ms — the perm-gather costs what the
+    # random scatter saves), so default OFF: the flag also costs a
+    # [B, Tf*Kf] x2 loop carry and a sort per rebuild. Kept as an A/B
+    # knob; superseded by io_batch below.
+    scatter_segsum: bool = False
+    # Batch the fused path's index traffic across the whole view window:
+    # ONE view-offset flat gather from the stacked [B, N, F] packed rows,
+    # the validity mask applied IN-KERNEL (madd column) instead of as a
+    # masked-concat row copy + its transpose, and ONE flat scatter-add
+    # for all views' row cotangents. Kernel passes stay per-view (the
+    # stacked-grid variant lost on hardware — see batch_render above);
+    # only the gather/mask/scatter legs batch. MEASURED WORSE on v5e
+    # (scripts/ab_scatter.py: 138.0 per-view vs 169.7 ms/iter batched):
+    # the [B, N, F] stacked packed-rows materialization and the vmapped
+    # stage1 vjp's batched residuals cost more than the per-view gathers
+    # save (isolated: 10 gathers 4.4 ms vs one flat 2.2 ms,
+    # scripts/bench_gather.py) — the per-view vjp recomputes preprocess
+    # inside a smaller live set that XLA fuses better. Default OFF; kept
+    # as an A/B knob with ulp-level parity (test_map_iters_io_batch_parity).
+    io_batch: bool = False
     # Compute the final visibility pass (n_touched per view) from the loop's
     # frozen tile lists instead of B from-scratch globally-binned renders —
     # the binning (preprocess over capacity + global instance sort + fine
@@ -340,7 +361,88 @@ def map_iters_impl(
 
         lists_b = TileLists(idx=l_idx, vld=l_vld) if use_lists else None
 
-        if fused:
+        if fused and mcfg.io_batch:
+            from ..render.renderer import (
+                _F, _pack, map_grad_from_rows, preprocess,
+            )
+
+            tf_, kf_ = l_idx.shape[1], l_idx.shape[2]
+
+            def stage1_all(xyz, sh, ls, quat, ol, taus, offs):
+                def one(T_v, tau_v, off_v):
+                    T_eff = se3.retract(T_v, tau_v)
+                    prep = preprocess(
+                        xyz, ls, quat, ol, sh, mc.active, T_eff, intr,
+                        sh_degree=cfg_iter.sh_degree, near=cfg_iter.near,
+                        means2d_offset=off_v,
+                    )
+                    return _pack(prep), prep.valid, prep.radius
+
+                packed_b, valid_b, radii_b = jax.vmap(one)(
+                    cams_c.T, taus, offs
+                )
+                return packed_b, (valid_b, radii_b)
+
+            packed_b, pull1, (valid_b, radii) = jax.vjp(
+                stage1_all, mc.params.xyz, mc.params.sh,
+                mc.params.log_scale, mc.params.quat, mc.params.opa_logit,
+                taus0, offs0, has_aux=True,
+            )
+            gidx = (
+                l_idx.reshape(b, -1)
+                + (jnp.arange(b, dtype=jnp.int32) * n)[:, None]
+            ).reshape(-1)
+            d0 = packed_b.reshape(b * n, _F)[gidx].reshape(b, tf_, kf_, _F)
+            vld_b = l_vld & valid_b.reshape(b * n)[gidx].reshape(
+                b, tf_, kf_
+            )
+            madd_b = jnp.where(vld_b, 0.0, -1e30).astype(jnp.float32)
+
+            def one_kernel(args):
+                d_v, madd_v, gt_t, mask_t, gtd_t, ea_v, eb_v = args
+                return map_grad_from_rows(
+                    d_v, intr, cfg_iter, gt_t, mask_t, ea_v, eb_v,
+                    initialization, mcfg.alpha, gtd_t=gtd_t, madd=madd_v,
+                )
+
+            kargs = (d0, madd_b, gt_tb, mask_tb,
+                     gtd_tb if gtd_tb is not None
+                     else jnp.zeros((b, 0, 0, 0)),
+                     cams_c.ea, cams_c.eb)
+            if gtd_tb is None:
+                def one_kernel_mono(a):
+                    a = a[:4] + (None,) + a[5:]
+                    return one_kernel(a)
+                per_view, dd_b, g_ea, g_eb = jax.lax.map(
+                    one_kernel_mono, kargs
+                )
+            else:
+                per_view, dd_b, g_ea, g_eb = jax.lax.map(one_kernel, kargs)
+
+            s_b = cams_c.valid.astype(jnp.float32)
+            per_view = per_view * s_b
+            g_ea = g_ea * s_b
+            g_eb = g_eb * s_b
+            dd_b = dd_b * s_b[:, None, None, None]
+            loss = jnp.sum(per_view)
+            dpacked = (
+                jnp.zeros((b * n, _F))
+                .at[gidx].add(dd_b.reshape(-1, _F))
+                .reshape(b, n, _F)
+            )
+            grads = pull1(dpacked)
+            g_params = gm.ParamLeaves(*grads[:5])
+            g_tau = grads[5] * s_b[:, None]
+            g_offs = grads[6] * s_b[:, None, None]
+            g_iso = jax.grad(
+                lambda ls: mcfg.isotropic_weight * losses.isotropic_reg(
+                    jnp.exp(ls), mc.active
+                )
+            )(mc.params.log_scale)
+            g_params = g_params._replace(
+                log_scale=g_params.log_scale + g_iso
+            )
+        elif fused:
             from ..render.renderer import render_map_grad
 
             gauss_it = _gauss_view(mc.params, mc.active)

@@ -1,15 +1,16 @@
 #!/usr/bin/env python
-"""A/B the mapping scatter strategies on TPU hardware at bench shapes.
+"""Scaling probe for the mapping iteration: which axis carries the cost?
 
-scripts/profile_mapping.py attributed 46 of the 144 ms mapping iteration
-to the VJP pullback's scatter-add (the transpose of the packed[lists.idx]
-row gather) and 17 ms to the gather itself. MapConfig.scatter_segsum
-replaces the scatter with a frozen-permutation gather + sorted
-segment_sum (render/renderer.py render_map_grad). This times REAL
-map_iters calls (the only attribution that survives the axon relay's
-~30-50 ms sync floor — CLAUDE.md) with the flag off/on.
+ab_scatter.py showed the 138 ms/iter is insensitive to scatter strategy
+(segsum ~0, io_batch WORSE by 32 ms) while bench_gather.py's isolated ops
+sum to only ~68 ms (gather 4.4 + scatter 19.5 + kernel 44 + adam ~0).
+This varies one axis at a time around the bench point (B=10 views,
+k_fine=96, 131k capacity, 640x480) to locate the remaining ~70 ms:
 
-Usage: python scripts/ab_scatter.py [reps]
+  B=10 / B=5 / B=2      per-view scaling (kernel, gather, scatter legs)
+  k_fine 96 -> 64       per-row scaling at fixed views
+  rebin_every huge      the frozen-list rebuild cond amortization
+  initialization=True   the window pose/exposure Adam + stats legs
 """
 
 import sys
@@ -23,7 +24,7 @@ sys.path.insert(0, "/root/repo")
 import monogs_tpu  # noqa: E402
 from monogs_tpu.utils.relay import ensure_live_backend  # noqa: E402
 
-ensure_live_backend(fallback="error", roundtrip=False)  # outer `timeout` guards the run; the roundtrip probe adds a flaky 2x240s coin flip (relay dispatch varies 7-185s)
+ensure_live_backend(fallback="error", roundtrip=False)
 monogs_tpu.enable_compilation_cache()
 
 from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose  # noqa: E402
@@ -59,34 +60,38 @@ leaves = gm.ParamLeaves(
     opa_logit=jnp.pad(scene.opa_logit, ((0, pad), (0, 0))),
 )
 m = gm.insert(gm.new_map(cap), leaves, jnp.int32(n), kf_id=0)
-b = 10
 h, w = intr.height, intr.width
-cams = CamBatch(
-    gt_image=jnp.stack(frames),
-    gt_depth=jnp.zeros((b, 1, h, w)),
-    mapping_mask=jnp.ones((b, 1, h, w)),
-    T=jnp.stack(poses),
-    ea=jnp.ones((b,)),
-    eb=jnp.zeros((b,)),
-    valid=jnp.ones((b,), bool),
-    opt_pose=jnp.array([False] + [True] * 4 + [False] * 5),
-    opt_exposure=jnp.array([False] + [True] * (b - 1)),
-)
+
+
+def make_cams(b):
+    return CamBatch(
+        gt_image=jnp.stack(frames[:b]),
+        gt_depth=jnp.zeros((b, 1, h, w)),
+        mapping_mask=jnp.ones((b, 1, h, w)),
+        T=jnp.stack(poses[:b]),
+        ea=jnp.ones((b,)),
+        eb=jnp.zeros((b,)),
+        valid=jnp.ones((b,), bool),
+        opt_pose=jnp.array([False] + [True] * (b - 1)),
+        opt_exposure=jnp.array([False] + [True] * (b - 1)),
+    )
+
+
 hyper = gm.MapHyper()
-reps = int(sys.argv[1]) if len(sys.argv) > 1 else 3
 
 
-def time_iters(mcfg, label, iters_lo=5, iters_hi=45):
+def time_iters(cams, mcfg, cfg_, label, init=False,
+               iters_lo=5, iters_hi=45):
     def run(iters):
         out = map_iters(
             m, cams, iters, jnp.int32(100), jax.random.PRNGKey(0),
-            intr, cfg, mcfg, hyper,
+            intr, cfg_, mcfg, hyper, initialization=init,
         )
         jax.block_until_ready(out[0].params.xyz)
 
-    run(jnp.int32(iters_lo))  # compile (dynamic trip count: one program)
+    run(jnp.int32(iters_lo))
     best = None
-    for _ in range(reps):
+    for _ in range(3):
         t0 = time.time()
         run(jnp.int32(iters_lo))
         t1 = time.time()
@@ -94,15 +99,14 @@ def time_iters(mcfg, label, iters_lo=5, iters_hi=45):
         t2 = time.time()
         per = ((t2 - t1) - (t1 - t0)) / (iters_hi - iters_lo) * 1000
         best = per if best is None else min(best, per)
-    print(f"[ab-scatter] {label:<28} {best:8.2f} ms/iter "
-          f"({1000.0 / best:.2f} BA iters/s)", flush=True)
-    return best
+    print(f"[map-scaling] {label:<30} {best:8.2f} ms/iter", flush=True)
 
 
 base = MapConfig(monocular=True, window_size=8, pose_window=5)
-time_iters(base._replace(scatter_segsum=False, io_batch=False),
-           "per-view (r3 default)")
-time_iters(base._replace(scatter_segsum=True, io_batch=False),
-           "segsum (frozen perm)")
-time_iters(base._replace(io_batch=True),
-           "io_batch (flat+in-kernel)")
+time_iters(make_cams(10), base, cfg, "B=10 (bench point)")
+time_iters(make_cams(5), base, cfg, "B=5")
+time_iters(make_cams(2), base, cfg, "B=2")
+time_iters(make_cams(10), base, cfg._replace(k_fine=64), "k_fine=64")
+time_iters(make_cams(10), base._replace(rebin_every=1 << 20), cfg,
+           "rebin_every=inf")
+time_iters(make_cams(10), base, cfg, "initialization=True", init=True)

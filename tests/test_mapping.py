@@ -322,6 +322,37 @@ def test_mapping_segsum_scatter_parity():
                                       np.asarray(ref[6]), err_msg=tag)
 
 
+def test_map_iters_io_batch_parity():
+    """The batched-IO fused path (MapConfig.io_batch: one view-offset flat
+    gather, in-kernel validity mask, one flat scatter) matches the
+    per-view fused path through several full map_iters iterations — same
+    kernel math, different gather/scatter shapes, so only f32
+    reassociation separates them."""
+    scene, m = scene_and_map()
+    views = target_views(scene)
+    cams = make_batch(views)
+    cfg_p = CFG._replace(backend="pallas_lists", pallas_interpret=True)
+    outs = {}
+    for iob in (False, True):
+        mcfg = MCFG._replace(io_batch=iob)
+        m2, cams2, it, vis, ka = map_iters(
+            m, cams, jnp.int32(3), jnp.int32(7), jax.random.PRNGKey(0),
+            INTR, cfg_p, mcfg, HYPER,
+        )
+        outs[iob] = (m2, cams2, vis)
+    for name in ("xyz", "sh", "log_scale", "quat", "opa_logit"):
+        a = np.asarray(getattr(outs[False][0].params, name))
+        b_ = np.asarray(getattr(outs[True][0].params, name))
+        np.testing.assert_allclose(b_, a, atol=5e-5, err_msg=name)
+    np.testing.assert_allclose(
+        np.asarray(outs[True][1].T), np.asarray(outs[False][1].T),
+        rtol=1e-6, atol=1e-7,
+    )
+    np.testing.assert_array_equal(
+        np.asarray(outs[True][2]), np.asarray(outs[False][2])
+    )
+
+
 def test_map_iters_fused_reduces_loss():
     """Full map_iters with the fused mapping gradient (pallas_lists
     interpret, MapConfig.fused_grad) descends like the autodiff path and
