@@ -83,6 +83,9 @@ class FrontEnd:
         # and under pose-override replay (the seed must see overridden
         # poses). Training.pipeline_tracking: false opts out.
         self.pipeline_tracking = tr.get("pipeline_tracking", True)
+        # Threaded-mode accuracy gate (see the run loop): hold tracking
+        # while a keyframe request is in flight. Off = reference semantics.
+        self.block_on_keyframe = tr.get("block_on_keyframe", False)
         self._pending = None  # (idx, Frame, TrackResult, t_dispatch)
         self.n_pipelined = 0  # frames dispatched ahead of the host sync
         self.dataset_type = config["Dataset"].get("type", "tum")
@@ -506,6 +509,16 @@ class FrontEnd:
                     continue
                 if self.single_thread and self.requested_keyframe > 0:
                     time.sleep(0.01)
+                    continue
+                if self.block_on_keyframe and self.requested_keyframe > 0:
+                    # stricter-than-reference threaded gate: hold tracking
+                    # while keyframe BA is in flight so the pose never runs
+                    # ahead of a lagging map (the reference frontend tracks
+                    # on through pending keyframes, slam_frontend.py run
+                    # loop — fine at TUM frame-to-frame motion, divergent
+                    # on fast sequences; docs/mapping_r4_attribution.md).
+                    # Non-keyframe tracking still overlaps idle mapping.
+                    time.sleep(0.005)
                     continue
                 if not self.initialized and self.requested_keyframe > 0:
                     time.sleep(0.001)

@@ -64,6 +64,11 @@ VARIANTS = {
                    ("Renderer", "track_k_fine"): 96},
     "kf256_mt": {("Renderer", "k_fine"): 256,
                  ("Dataset", "single_thread"): False},
+    # threaded with the stricter-than-reference keyframe gate: tracking
+    # holds while keyframe BA is in flight (accuracy), non-keyframe
+    # tracking overlaps idle mapping (speed)
+    "mt_gate": {("Dataset", "single_thread"): False,
+                ("Training", "block_on_keyframe"): True},
     "kf256_it40": {("Renderer", "k_fine"): 256,
                    ("Training", "mapping_itr_num"): 40},
     "kf256_it30": {("Renderer", "k_fine"): 256,
