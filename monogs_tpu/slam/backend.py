@@ -124,6 +124,22 @@ class BackEnd:
                 f"Mapping sharded over mesh {dict(self._gauss_mesh.shape)}"
                 " (map over 'gauss')"
             )
+            # the gauss-sharded loop always runs the fused Pallas list
+            # path; warn when the config asks for knobs it cannot honor
+            ignored = [
+                k for k, v, d in (
+                    ("fused_grad", self.mcfg.fused_grad, True),
+                    ("io_batch", self.mcfg.io_batch, False),
+                    ("scatter_segsum", self.mcfg.scatter_segsum, False),
+                    ("tile_frac", self.mcfg.tile_frac, 1.0),
+                ) if v != d
+            ]
+            if ignored:
+                Log(
+                    "Parallel.gauss_devices ignores non-default mapping "
+                    f"knobs {ignored} (the gauss-sharded loop is fused-"
+                    "Pallas only)", tag="warn",
+                )
         elif self.n_devices > 1:
             from ..parallel.mesh import make_mesh
 

@@ -51,6 +51,10 @@ def relay_alive(timeout: float = 2.0) -> bool:
 def relay_roundtrip_ok(timeout: float = 240.0) -> bool:
     """True iff a REAL dispatch+readback round-trip through the relay works.
 
+    `timeout` is the TOTAL budget, split across the two attempts
+    (timeout/2 per try) so callers under their own outer `timeout` can
+    treat it as a hard bound.
+
     `relay_alive()` only proves the in-VM relay process is listening; a
     second observed failure mode (round 3) is the relay accepting TCP while
     the orchestrator behind its stdio pump never answers — compiles and
@@ -74,6 +78,7 @@ def relay_roundtrip_ok(timeout: float = 240.0) -> bool:
     import sys
     import time
 
+    per_try = max(1.0, timeout / 2.0)
     for attempt in (0, 1):
         seed = (int(time.time()) + attempt * 7919) % 100003
         probe = (
@@ -85,7 +90,7 @@ def relay_roundtrip_ok(timeout: float = 240.0) -> bool:
         try:
             r = subprocess.run(
                 [sys.executable, "-c", probe],
-                timeout=timeout,
+                timeout=per_try,
                 stdout=subprocess.DEVNULL,
                 stderr=subprocess.DEVNULL,
             )

@@ -61,9 +61,13 @@ def test_fast_path_knobs_plumbed_from_yaml():
     # building the TrackConfig (runtime.py)
     cfg["Training"]["monocular"] = cfg["Dataset"]["sensor_type"] == "monocular"
     tcfg = track_config_from_config(cfg)
-    assert tcfg.bin_margin == 8
-    assert tcfg.fo_tile_frac == 0.25
-    assert tcfg.so_tile_frac == 0.25
+    # plumbing contract: TrackConfig mirrors the YAML values (round-4
+    # lesson — never hardcode the tuned constants here, they move with
+    # every sweep; the YAML is the single source of truth)
+    rgn = cfg["Training"]["RGN"]
+    assert tcfg.bin_margin == rgn["bin_margin"]
+    assert tcfg.fo_tile_frac == rgn["first_order"]["tile_frac"]
+    assert tcfg.so_tile_frac == rgn["second_order"]["tile_frac"]
     assert tcfg.fo_fused and tcfg.final_refine
     from monogs_tpu.render import Intrinsics
 
