@@ -143,6 +143,16 @@ def gp_map_iters_impl(
         jax.vmap(lambda im: tile_images(im, intr, cfg_iter))(cams.gt_depth)
         if not mcfg.monocular else None
     )
+    # per-iteration tile subsets (MapConfig.tile_frac): same semantics and
+    # key schedule as the single-device loop (slam/mapping.py), so a
+    # 1-D gauss mesh reproduces its draws exactly. The subset also shrinks
+    # the per-view all_gather ([S, D*Kf] instead of [Tf, D*Kf]) — comms
+    # scale with the fraction too.
+    use_sub = mcfg.tile_frac < 1.0
+    if use_sub:
+        n_fine = gt_tb.shape[1]
+        n_sub = max(8, int(n_fine * mcfg.tile_frac) // 8 * 8)
+        sub_frac = n_sub / n_fine
 
     def build_frozen(mc, cams_c):
         """Per view: local lists + frozen merge selection src_k."""
@@ -181,8 +191,25 @@ def gp_map_iters_impl(
         itc = itc + 1
         key, k_dens = jax.random.split(key)
 
+        if use_sub:
+            key, k_sub = jax.random.split(key)
+            tsel_b = jax.vmap(
+                lambda k: jax.random.permutation(k, n_fine)[:n_sub]
+            )(jax.random.split(k_sub, b))
+        else:
+            tsel_b = jnp.zeros((b, 1), jnp.int32)
+
         def one_view(args):
-            (T_v, ea_v, eb_v, valid_v, gt_t, mask_t, gtd_t, li, lv, sk) = args
+            (T_v, ea_v, eb_v, valid_v, gt_t, mask_t, gtd_t, li, lv, sk,
+             ts) = args
+            if use_sub:
+                li, lv, sk = li[ts], lv[ts], sk[ts]
+                gt_t, mask_t = gt_t[ts], mask_t[ts]
+                if not mcfg.monocular:
+                    gtd_t = gtd_t[ts]
+                txy = (tx0[ts], ty0[ts])
+            else:
+                txy = None
             tau0 = jnp.zeros((6,))
             off0 = jnp.zeros((nl, 2))
 
@@ -204,6 +231,7 @@ def gp_map_iters_impl(
                 d, intr, cfg_iter, gt_t, mask_t, ea_v, eb_v,
                 initialization, mcfg.alpha,
                 gtd_t=gtd_t if not mcfg.monocular else None,
+                txy=txy, px_frac=sub_frac if use_sub else 1.0,
             )
             grads = pull((dd, jnp.zeros_like(radii)))
             # the replicated dd is psum_scatter'd over the gauss axis ->
@@ -219,7 +247,7 @@ def gp_map_iters_impl(
         args = (cams_c.T, cams_c.ea, cams_c.eb, cams_c.valid,
                 gt_tb, mask_tb,
                 gtd_tb if gtd_tb is not None else jnp.zeros((b, 0, 0, 0)),
-                l_idx, l_vld, l_src)
+                l_idx, l_vld, l_src, tsel_b)
         outs = jax.lax.map(one_view, args)
         per_view, g_leaves_b, g_tau, g_offs, g_ea, g_eb, radii = outs
         g_params = gm.ParamLeaves(

@@ -74,8 +74,14 @@ def _pick_bt_kc(n_tiles: int, kf: int = 96, want: int = 8):
     smaller chunks cost only more scan trips, while bt=1 blocks trip a
     Mosaic relayout bug ("Invalid relayout ... vector<1x256xf32>",
     observed on v5e at the RGB-D fused-fo kernel with k_fine=128,
-    want=2 -> kc=128, cap=1; scripts/repro_mosaic_tf.py)."""
+    want=2 -> kc=128, cap=1; scripts/repro_mosaic_tf.py).
+
+    If n_tiles has no even divisor (odd tile counts at unusual
+    resolutions), no amount of kc-halving can buy bt>1 — bail out with
+    the natural chunk rather than degrading kc to 16 for nothing."""
     kc = _chunk_kc(kf)
+    if n_tiles % 2 != 0:
+        return 1, kc
     while True:
         cap = max(1, (want * 96) // max(kc, 1))
         for bt in (8, 4, 2):
@@ -723,7 +729,8 @@ def _map_grad_kernel(tx0_ref, ty0_ref, sc_ref, dat_ref, pmat_ref, gt_ref,
 def map_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb,
                           tile: int, width: int, height: int,
                           interpret: bool, use_exposure: bool, alpha: float,
-                          eps: float, gtd_t=None, madd=None):
+                          eps: float, gtd_t=None, madd=None,
+                          px_frac: float = 1.0):
     """Fused mapping loss + gradient over frozen lists (see
     _map_grad_kernel). d: [Tf, Kf, F]; gt_t/mask_t (and gtd_t for RGB-D):
     tiled full-image ground truth. Returns (dd [Tf, Kf, F] with normalizers
@@ -732,14 +739,19 @@ def map_grad_lists_pallas(d, tx0, ty0, pmat, gt_t, mask_t, ea, eb,
 
     `madd` [Tf, Kf] f32 (0 valid / -1e30 invalid): apply the per-row
     validity mask to the logo column IN-KERNEL — `d` is then the raw
-    gathered rows and the caller skips the masked-concat copy."""
+    gathered rows and the caller skips the masked-concat copy.
+
+    `px_frac` scales the mean normalizers for a tile-subset call (see
+    renderer.map_grad_from_rows): with S of Tf tiles the expected residual
+    sum is px_frac x the full sum, so dividing the means by px_frac keeps
+    dd an unbiased full-image gradient estimate."""
     n_tiles, kf, _ = d.shape
     p = pmat.shape[1]
     rgbd = gtd_t is not None
     bt, kc = _pick_bt_kc(n_tiles, kf, want=4)
     sc = jnp.stack([ea, eb]).astype(jnp.float32)
-    m_rgb = 3.0 * width * height
-    m_dep = float(width * height)
+    m_rgb = 3.0 * width * height * px_frac
+    m_dep = float(width * height) * px_frac
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),
         pl.BlockSpec(memory_space=pltpu.SMEM),

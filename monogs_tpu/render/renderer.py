@@ -1008,6 +1008,8 @@ def render_map_grad(
     alpha: float,
     gtd_t=None,
     sortperm=None,
+    txy=None,
+    px_frac: float = 1.0,
 ):
     """Fused mapping loss + full gradient for ONE view over frozen lists.
 
@@ -1031,6 +1033,12 @@ def render_map_grad(
     their sort is free at iteration time, and a sorted segment reduction
     replaces the random scatter. Same adds, different order (f32
     reassociation only — test_mapping.py parity).
+
+    `txy`/`px_frac`: tile-subset call — `lists` holds S < Tf gathered rows,
+    `gt_t`/`mask_t`/`gtd_t` the matching gathered tiles, `txy` their pixel
+    origins, and `px_frac = S/Tf` unbiases the mean normalizers
+    (MapConfig.tile_frac; the gather pullback scatters only S*Kf rows, so
+    every per-row leg of the iteration scales with the fraction).
 
     Returns (loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii); g_leaves is
     a ParamLeaves-ordered tuple (xyz, sh, log_scale, quat, opa_logit).
@@ -1059,7 +1067,7 @@ def render_map_grad(
         )
         loss, dd, g_ea, g_eb = map_grad_from_rows(
             d, intr, cfg, gt_t, mask_t, ea, eb, initialization, alpha,
-            gtd_t=gtd_t,
+            gtd_t=gtd_t, txy=txy, px_frac=px_frac,
         )
         grads = pull((dd, jnp.zeros_like(radii)))
         g_leaves, g_tau, g_off = grads[:5], grads[5], grads[6]
@@ -1069,6 +1077,10 @@ def render_map_grad(
     # split the row pipeline at the gather: stage1 (preprocess+pack,
     # differentiated by jax.vjp — elementwise transpose, cheap) | the
     # gather+mask (transposed BY HAND as perm-gather + sorted segsum)
+    assert txy is None and px_frac == 1.0, (
+        "sortperm (frozen scatter order) is incompatible with per-iteration "
+        "tile subsets — the permutation is of the FULL lists"
+    )
     perm, sids = sortperm
     n = gauss.xyz.shape[0]
 
@@ -1122,6 +1134,8 @@ def map_grad_from_rows(
     alpha: float,
     gtd_t=None,
     madd=None,
+    txy=None,
+    px_frac: float = 1.0,
 ):
     """The kernel/loss half of render_map_grad: one fused Pallas pass over
     pre-gathered blend rows `d` [Tf, Kf, F] -> (loss, dL/dd, g_ea, g_eb).
@@ -1133,7 +1147,14 @@ def map_grad_from_rows(
 
     `madd` [Tf, Kf] (0 valid / -1e30 invalid) applies the validity mask to
     the logo column in-kernel: pass RAW gathered rows and skip the
-    masked-concat row copy (and its transpose)."""
+    masked-concat row copy (and its transpose).
+
+    `txy=(tx0s, ty0s)` overrides the tile origins for a TILE-SUBSET call
+    (d/gt_t/mask_t restricted to S tiles); `px_frac` = S/Tf then scales the
+    mean normalizers so loss and dd are unbiased estimates of the
+    full-image objective (mapping's tile-wise analogue of the reference's
+    num_pixels subsampling, slam_frontend.py:250-257 — see
+    MapConfig.tile_frac)."""
     from .pallas_lists import map_grad_lists_pallas
     from ..ops.losses import EXPOSURE_EPS
 
@@ -1142,16 +1163,16 @@ def map_grad_from_rows(
     px_local = (jnp.arange(p, dtype=jnp.int32) % tile).astype(jnp.float32)
     py_local = (jnp.arange(p, dtype=jnp.int32) // tile).astype(jnp.float32)
     pmat = _pixel_basis(px_local, py_local)
-    tx0, ty0 = _tile_origins(intr, cfg)
+    tx0, ty0 = txy if txy is not None else _tile_origins(intr, cfg)
     use_exposure = not initialization
     dd, sums = map_grad_lists_pallas(
         d, tx0, ty0, pmat, gt_t, mask_t, ea, eb, tile,
         intr.width, intr.height, cfg.pallas_interpret, use_exposure,
         alpha if gtd_t is not None else 1.0, EXPOSURE_EPS, gtd_t=gtd_t,
-        madd=madd,
+        madd=madd, px_frac=px_frac,
     )
-    m_rgb = 3.0 * intr.width * intr.height
-    m_dep = float(intr.width * intr.height)
+    m_rgb = 3.0 * intr.width * intr.height * px_frac
+    m_dep = float(intr.width * intr.height) * px_frac
     l_rgb = jnp.sum(sums[:, 0]) / m_rgb
     if gtd_t is not None:
         loss = alpha * l_rgb + (1.0 - alpha) * jnp.sum(sums[:, 1]) / m_dep

@@ -131,7 +131,6 @@ class BackEnd:
                     ("fused_grad", self.mcfg.fused_grad, True),
                     ("io_batch", self.mcfg.io_batch, False),
                     ("scatter_segsum", self.mcfg.scatter_segsum, False),
-                    ("tile_frac", self.mcfg.tile_frac, 1.0),
                 ) if v != d
             ]
             if ignored:

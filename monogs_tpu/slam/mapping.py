@@ -62,6 +62,10 @@ class MapConfig(NamedTuple):
     densify_from_iter: int = 500
     isotropic_weight: float = 10.0
     lambda_dssim: float = 0.2
+    # NOTE: under Parallel.gauss_devices=D the caps apply PER SHARD, so
+    # the global per-densify growth budget is D x these values — D=1 and
+    # D>1 runs with the same MapConfig grow the map at different rates
+    # (intentional; see parallel/gauss_iters.py module docstring).
     clone_cap: int = 8192
     split_cap: int = 4096
     # Frozen per-view tile lists (see render/renderer.py TileLists): built
@@ -116,6 +120,21 @@ class MapConfig(NamedTuple):
     # inside a smaller live set that XLA fuses better. Default OFF; kept
     # as an A/B knob with ulp-level parity (test_map_iters_io_batch_parity).
     io_batch: bool = False
+    # Per-iteration random fine-tile subset for the fused BA gradient
+    # (tile-wise analogue of the reference's Training.RGN num_pixels
+    # subsampling, slam_frontend.py:250-257 — tracking ships the same
+    # machinery as TrackConfig.fo/so_tile_frac). Each iteration draws a
+    # FRESH per-view subset of max(8, frac*Tf rounded to a multiple of 8)
+    # tiles from the frozen lists, renders/differentiates only those rows,
+    # and scales the mean normalizers by 1/frac (unbiased estimate; BA's
+    # hundreds of Adam iterations average the noise exactly like the
+    # reference's pixel subsampling). The attribution
+    # (docs/mapping_r4_attribution.md) shows the iteration is ~95%
+    # per-view x per-row, so cost scales ~ with the fraction. Applies to
+    # the fused pallas path only (io_batch/scatter_segsum/XLA fall back
+    # to full tiles); lists upkeep, densify, and the final visibility
+    # pass stay full-view.
+    tile_frac: float = 1.0
     # Compute the final visibility pass (n_touched per view) from the loop's
     # frozen tile lists instead of B from-scratch globally-binned renders —
     # the binning (preprocess over capacity + global instance sort + fine
@@ -310,6 +329,13 @@ def map_iters_impl(
         and cfg_iter.backend == "pallas_lists"
     )
     use_segsum = fused and mcfg.scatter_segsum
+    # per-iteration tile subsets (MapConfig.tile_frac) ride the plain
+    # fused path only: segsum's frozen permutation and io_batch's flat
+    # gather both index the FULL lists
+    use_sub = (
+        fused and mcfg.tile_frac < 1.0
+        and not use_segsum and not mcfg.io_batch
+    )
 
     def sort_lists(l_idx):
         """Frozen scatter order: per view, argsort of the flat list ids
@@ -337,6 +363,15 @@ def map_iters_impl(
             )
             if not mcfg.monocular else None
         )
+        if use_sub:
+            from ..render.renderer import _tile_origins
+
+            tx0f, ty0f = _tile_origins(intr, cfg_iter)
+            n_fine = gt_tb.shape[1]
+            # multiple of 8 keeps the kernel's tile-batch (bt) wide —
+            # odd subset sizes force the bt=1 Mosaic-relayout fallback
+            n_sub = max(8, int(n_fine * mcfg.tile_frac) // 8 * 8)
+            sub_frac = n_sub / n_fine
 
     def build_lists(mc, cams_c):
         from ..render import build_tile_lists
@@ -447,9 +482,25 @@ def map_iters_impl(
 
             gauss_it = _gauss_view(mc.params, mc.active)
 
+            if use_sub:
+                key, k_sub = jax.random.split(key)
+                tsel_b = jax.vmap(
+                    lambda k: jax.random.permutation(k, n_fine)[:n_sub]
+                )(jax.random.split(k_sub, b))          # [B, S] fresh/iter
+            else:
+                tsel_b = jnp.zeros((b, 1), jnp.int32)  # unused placeholder
+
             def one_fused(args):
                 (T_v, ea_v, eb_v, valid_v, gt_t, mask_t, gtd_t, li, lv,
-                 tau_v, off_v, pv, sv) = args
+                 tau_v, off_v, pv, sv, ts) = args
+                if use_sub:
+                    li, lv = li[ts], lv[ts]
+                    gt_t, mask_t = gt_t[ts], mask_t[ts]
+                    if gtd_t is not None:
+                        gtd_t = gtd_t[ts]
+                    txy = (tx0f[ts], ty0f[ts])
+                else:
+                    txy = None
                 loss_v, g_leaves, g_tau_v, g_off_v, g_ea_v, g_eb_v, radii_v = (
                     render_map_grad(
                         gauss_it, T_v, intr, cfg_iter,
@@ -457,6 +508,7 @@ def map_iters_impl(
                         tau_v, off_v, ea_v, eb_v, initialization,
                         mcfg.alpha, gtd_t=gtd_t,
                         sortperm=(pv, sv) if use_segsum else None,
+                        txy=txy, px_frac=sub_frac if use_sub else 1.0,
                     )
                 )
                 s = valid_v.astype(jnp.float32)
@@ -468,7 +520,7 @@ def map_iters_impl(
                     gt_tb, mask_tb,
                     gtd_tb if gtd_tb is not None
                     else jnp.zeros((b, 0, 0, 0)),
-                    l_idx, l_vld, taus0, offs0, s_perm, s_sid)
+                    l_idx, l_vld, taus0, offs0, s_perm, s_sid, tsel_b)
             if gtd_tb is None:
                 def one_fused_mono(a):
                     a = a[:6] + (None,) + a[7:]

@@ -185,6 +185,9 @@ def map_config_from_config(config, cameras_extent: float = 6.0) -> MapConfig:
                                                     False),
         fused_grad=config.get("Renderer", {}).get("mapping_fused_grad",
                                                   True),
+        # per-iteration tile subsampling of the fused BA gradient
+        # (MapConfig.tile_frac; 1.0 = full tiles)
+        tile_frac=config.get("Renderer", {}).get("mapping_tile_frac", 1.0),
     )
 
 

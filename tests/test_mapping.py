@@ -380,6 +380,101 @@ def test_map_iters_fused_reduces_loss():
     assert bool(vis[0].any())
 
 
+def test_map_grad_tile_subset_partition_parity():
+    """Tile-subset mapping gradients are EXACTLY unbiased: averaging the
+    1/frac-scaled subset calls over a disjoint partition of the fine tiles
+    reproduces the full-list loss and every gradient (each tile's
+    contribution is linear in the pullback, so the identity is exact up to
+    f32 summation order). This is the correctness contract behind
+    MapConfig.tile_frac."""
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import (
+        TileLists, _tile_origins, render_map_grad, tile_images,
+    )
+
+    scene, m = scene_and_map()
+    views = target_views(scene, 2)
+    img, dep, T = views[1]
+    gt_img = img + 0.03
+    gt_dep = dep + 0.05
+    mask = jnp.ones((1, INTR.height, INTR.width))
+    n = m.capacity
+    cfg_p = CFG._replace(with_n_touched=False, backend="pallas_lists",
+                         pallas_interpret=True)
+    gauss = m.render_view()
+    lists = build_tile_lists(gauss, T, INTR, cfg_p, margin=4.0)
+    gt_t = tile_images(gt_img, INTR, cfg_p)
+    mask_t = tile_images(mask, INTR, cfg_p)
+    gtd_t = tile_images(gt_dep, INTR, cfg_p)
+    ea, eb = jnp.float32(1.08), jnp.float32(0.02)
+    tau0, off0 = jnp.zeros(6), jnp.zeros((n, 2))
+    tx0f, ty0f = _tile_origins(INTR, cfg_p)
+    n_fine = lists.idx.shape[0]
+    s = n_fine // 2
+    frac = s / n_fine
+    # a shuffled disjoint partition (subsets need not be contiguous)
+    tperm = jax.random.permutation(jax.random.PRNGKey(3), n_fine)
+
+    for rgbd in (False, True):
+        ref = render_map_grad(
+            gauss, T, INTR, cfg_p, lists, gt_t, mask_t, tau0, off0,
+            ea, eb, False, 0.9, gtd_t=gtd_t if rgbd else None,
+        )
+        parts = []
+        for half in (tperm[:s], tperm[s:]):
+            parts.append(render_map_grad(
+                gauss, T, INTR, cfg_p,
+                TileLists(idx=lists.idx[half], vld=lists.vld[half]),
+                gt_t[half], mask_t[half], tau0, off0, ea, eb, False, 0.9,
+                gtd_t=gtd_t[half] if rgbd else None,
+                txy=(tx0f[half], ty0f[half]), px_frac=frac,
+            ))
+        avg = jax.tree.map(lambda a, b_: 0.5 * (a + b_), parts[0], parts[1])
+        tag = f"rgbd={rgbd}"
+        np.testing.assert_allclose(float(avg[0]), float(ref[0]),
+                                   rtol=1e-5, err_msg=tag)
+        for a, b_ in zip(jax.tree.leaves(ref[1]), jax.tree.leaves(avg[1])):
+            np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                       atol=2e-5, err_msg=tag)
+        np.testing.assert_allclose(avg[2], ref[2], atol=2e-5, err_msg=tag)
+        np.testing.assert_allclose(avg[3], ref[3], atol=2e-5, err_msg=tag)
+        np.testing.assert_allclose(avg[4], ref[4], rtol=2e-5, atol=2e-7,
+                                   err_msg=tag)
+        np.testing.assert_allclose(avg[5], ref[5], rtol=2e-5, atol=2e-7,
+                                   err_msg=tag)
+        # radii come from the full preprocess on every call
+        np.testing.assert_array_equal(np.asarray(parts[0][6]),
+                                      np.asarray(ref[6]), err_msg=tag)
+
+
+def test_map_iters_tile_frac_reduces_loss():
+    """Full map_iters with per-iteration tile subsampling
+    (MapConfig.tile_frac=0.5) still descends to the fused path's quality:
+    BA's many iterations average the subset noise (the reference's
+    num_pixels subsampling makes the same trade, slam_frontend.py:250-257)."""
+    scene, m = scene_and_map()
+    views = target_views(scene)
+    key = jax.random.PRNGKey(7)
+    noisy = m._replace(
+        params=m.params._replace(
+            sh=m.params.sh + 0.3 * jax.random.normal(key, m.params.sh.shape),
+            xyz=m.params.xyz
+            + 0.01 * jax.random.normal(key, m.params.xyz.shape),
+        )
+    )
+    cams = make_batch(views)
+    cfg_p = CFG._replace(backend="pallas_lists", pallas_interpret=True)
+    before = photometric_err(noisy, views)
+    m2, _, it, vis, _ = map_iters(
+        noisy, cams, 40, jnp.int32(0), jax.random.PRNGKey(0),
+        INTR, cfg_p, MCFG._replace(tile_frac=0.5), HYPER,
+    )
+    after = photometric_err(m2, views)
+    assert after < 0.6 * before, (before, after)
+    assert int(it) == 40
+    assert bool(vis[0].any())
+
+
 def test_vis_from_lists_matches_global_render():
     """The lists-based final visibility pass (MapConfig.vis_from_lists) must
     agree with the from-scratch globally-binned render when the lists are
