@@ -194,19 +194,47 @@ def main():
     # monocular tracking number
     secondary = {"compile_first_frame_s": round(compile_first_s, 1)}
     frames = [d.gt_image for d in datas]
+    map_ips = map_ips_full = None
     try:
-        map_ips = bench_mapping(scene, frames, poses, intr, cfg)
-        print(f"[bench] mapping: {map_ips:.2f} BA iters/s "
+        # headline at the shipped BA practice (mapping_tile_frac 0.25,
+        # configs/synthetic/rgbd.yaml; docs/mapping_r5_tile_frac.md) plus
+        # the full-tile number for continuity with rounds 1-4
+        map_ips = bench_mapping(scene, frames, poses, intr, cfg,
+                                tile_frac=0.25)
+        map_ips_full = bench_mapping(scene, frames, poses, intr, cfg,
+                                     tile_frac=1.0)
+        print(f"[bench] mapping: {map_ips:.2f} BA iters/s at tile_frac "
+              f"0.25 / {map_ips_full:.2f} full-tile "
               f"(window of 8 views + 2 random)", file=sys.stderr, flush=True)
         secondary["mapping_ba_iters_per_s"] = round(map_ips, 2)
+        secondary["mapping_ba_iters_per_s_full_tiles"] = round(map_ips_full, 2)
     except Exception as e:  # keep the headline metric robust
         print(f"[bench] mapping bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+        map_ips = None
+    try:
+        # mapping roofline uses the FULL-tile iteration (its per-view
+        # program is what compiled_cost covers exactly)
+        bench_roofline(secondary, scene, datas, poses, intr, cfg, tcfg,
+                       frame_ms=elapsed / n_frames * 1000,
+                       map_ips=map_ips_full)
+    except Exception as e:
+        print(f"[bench] roofline accounting failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
     try:
         rgbd_fps = bench_rgbd_tracking(scene, intr, cfg, tcfg)
         secondary["rgbd_tracking_fps"] = round(rgbd_fps, 2)
     except Exception as e:
         print(f"[bench] rgbd bench failed: {type(e).__name__}: {e}",
+              file=sys.stderr, flush=True)
+    try:
+        for mode, mfps, mate in bench_slam_tumlike():
+            print(f"[bench] slam tum-like motion ({mode}): {mfps:.2f} fps, "
+                  f"ATE {mate*1000:.2f} mm", file=sys.stderr, flush=True)
+            secondary[f"slam_tumlike_{mode}_fps"] = round(mfps, 2)
+            secondary[f"slam_tumlike_{mode}_ate_mm"] = round(mate * 1000, 2)
+    except Exception as e:
+        print(f"[bench] tum-like slam bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
     try:
         slam_fps, slam_ate, slam_warm_s = bench_slam_fps()
@@ -360,7 +388,135 @@ def bench_slam_fps(n_frames=32, warmup_frames=10):
     return res["fps"], float(ate), warm_s
 
 
-def bench_mapping(scene, frames, poses, intr, cfg, n_iters=30):
+def bench_roofline(secondary, scene, datas, poses, intr, cfg, tcfg,
+                   frame_ms, map_ips):
+    """FLOPs / bytes / MFU accounting (VERDICT r4 #4; utils/roofline.py).
+
+    Two programs, two honesty levels:
+      - mapping: EXACT per-iteration accounting — one fused per-view
+        program (render_map_grad at bench shapes) is loop-free, so XLA's
+        cost_analysis covers its XLA legs exactly; the Pallas kernel body
+        (a custom call XLA counts as 0 flops) is added analytically
+        (roofline.pallas_flops_map_grad). x B views / measured iteration
+        time -> achieved TFLOP/s, MFU, arithmetic intensity, bound class.
+      - tracking: the frame program contains while_loops whose bodies HLO
+        cost analysis counts ONCE, so its flop count is a LOWER BOUND;
+        reported as such (fields suffixed _lb) against the measured frame
+        time.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import render_map_grad, tile_images
+    from monogs_tpu.slam.tracking import track_frame
+    from monogs_tpu.utils import roofline
+
+    # --- tracking frame (lower bound: loop bodies counted once) ---
+    fl, by = roofline.compiled_cost(
+        track_frame, scene, datas[1], poses[0], jnp.float32(1.0),
+        jnp.float32(0.0), jax.random.PRNGKey(0), intr, cfg, tcfg,
+    )
+    if fl is not None:
+        c = roofline.classify(fl, by, frame_ms / 1000.0)
+        print("[bench] roofline " + roofline.fmt("track_frame(lb)", c),
+              file=sys.stderr, flush=True)
+        secondary["tracking_frame_gflops_lb"] = round(fl / 1e9, 2)
+        secondary["tracking_mfu_f32_pct_lb"] = round(100 * c["mfu_f32"], 2)
+        if "arith_intensity" in c:
+            secondary["tracking_ai_lb"] = round(c["arith_intensity"], 1)
+        secondary["tracking_bound"] = c["bound"]
+
+    # --- mapping iteration (exact: loop-free per-view program) ---
+    if map_ips:
+        cfg_iter = cfg._replace(with_n_touched=False)
+        gauss = scene
+        T = poses[0]
+        lists = build_tile_lists(gauss, T, intr, cfg_iter, margin=4.0)
+        gt_t = tile_images(datas[0].gt_image, intr, cfg_iter)
+        mask_t = tile_images(jnp.ones_like(datas[0].gt_image[:1]), intr,
+                             cfg_iter)
+        n = gauss.xyz.shape[0]
+        jmg = jax.jit(lambda g, T_, li, gt, mk, tau, off, ea, eb:
+                      render_map_grad(g, T_, intr, cfg_iter, li, gt, mk,
+                                      tau, off, ea, eb, False, 0.95))
+        fl, by = roofline.compiled_cost(
+            jmg, gauss, T, lists, gt_t, mask_t, jnp.zeros(6),
+            jnp.zeros((n, 2)), jnp.float32(1.0), jnp.float32(0.0),
+        )
+        if fl is not None:
+            b = 10  # bench_mapping's window
+            tf_, kf_ = lists.idx.shape
+            k_fl = roofline.pallas_flops_map_grad(tf_, kf_)
+            it_s = 1.0 / map_ips
+            c = roofline.classify(b * (fl + k_fl), b * by, it_s)
+            print("[bench] roofline " + roofline.fmt("map_iter", c),
+                  file=sys.stderr, flush=True)
+            secondary["mapping_iter_gflops"] = round(b * (fl + k_fl) / 1e9, 2)
+            secondary["mapping_mfu_f32_pct"] = round(100 * c["mfu_f32"], 2)
+            secondary["mapping_hbm_util_pct"] = round(
+                100 * c.get("hbm_util", 0.0), 1)
+            if "arith_intensity" in c:
+                secondary["mapping_ai"] = round(c["arith_intensity"], 1)
+            secondary["mapping_bound"] = c["bound"]
+
+
+def bench_slam_tumlike(n_frames=32, warmup_frames=8):
+    """Secondary: full-system SLAM on a sequence whose PER-FRAME motion
+    matches real TUM fr3/office statistics (~8 mm / ~0.34 deg per frame,
+    data/synthetic.tum_like_amps) — the stock orbit at 32 frames moves ~4x
+    faster than any real handheld sequence, which is what made threaded
+    mode's ATE collapse in round 4 (docs/mapping_r4_attribution.md:73-88).
+
+    Records BOTH process modes on it:
+      - single_thread: every mapping iteration inside the wall-clock
+        (the conservative number),
+      - threaded: the REFERENCE's actual semantics — the frontend never
+        blocks on the backend (/root/reference/slam.py:109-117), so fps is
+        tracking-rate while mapping runs behind; honest here because the
+        motion is gentle enough for the map to keep up.
+    """
+    import copy
+
+    from monogs_tpu.eval.ate import eval_ate
+    from monogs_tpu.slam.config import load_config
+    from monogs_tpu.slam.runtime import SLAM
+
+    # st rides the single-thread profile (rgbd.yaml: deep BA, every
+    # iteration inside the wall-clock); threaded rides the threaded
+    # profile (rgbd_threaded.yaml: short BA blocks so the map keeps up —
+    # the reference ships the same per-mode config split, *_sp.yaml)
+    results = []
+    for mode, path in (("st", "configs/synthetic/rgbd.yaml"),
+                       ("threaded", "configs/synthetic/rgbd_threaded.yaml")):
+        cfg = load_config(path)
+        cfg["Results"]["save_results"] = False
+        cfg["Results"]["eval_rendering"] = False
+        cfg["Results"]["use_gui"] = False
+        cfg["Results"]["use_wandb"] = False
+        cfg["Dataset"]["synthetic"]["motion"] = "tum_like"
+        cfg["Dataset"]["synthetic"]["n_frames"] = n_frames
+
+        # warmup compiles every program at the same shapes (bench_slam_fps)
+        wcfg = copy.deepcopy(cfg)
+        wcfg["Dataset"]["synthetic"]["n_frames"] = warmup_frames
+        wcfg["Training"]["init_itr_num"] = 20
+        wcfg["Training"]["mapping_itr_num"] = 10
+        wcfg["Training"]["kf_interval"] = 1
+        SLAM(wcfg, save_dir=None).run()
+
+        slam = SLAM(cfg, save_dir=None)
+        res = slam.run()
+        ate = eval_ate(
+            slam.frontend.cameras, slam.frontend.kf_indices, None, 0,
+            final=True, monocular=False,
+        )
+        results.append((mode, res["fps"], float(ate)))
+    return results
+
+
+def bench_mapping(scene, frames, poses, intr, cfg, n_iters=30,
+                  tile_frac=1.0):
     import jax
     import jax.numpy as jnp
 
@@ -391,7 +547,8 @@ def bench_mapping(scene, frames, poses, intr, cfg, n_iters=30):
         opt_pose=jnp.array([False] + [True] * 4 + [False] * 5),
         opt_exposure=jnp.array([False] + [True] * (b - 1)),
     )
-    mcfg = MapConfig(monocular=True, window_size=8, pose_window=5)
+    mcfg = MapConfig(monocular=True, window_size=8, pose_window=5,
+                     tile_frac=tile_frac)
     hyper = gm.MapHyper()
 
     def run(iters):

@@ -466,6 +466,9 @@ def load_dataset(config):
             trans_amp=syn.get("trans_amp", 0.25),
             rot_amp=syn.get("rot_amp", 0.06),
             pan=syn.get("pan"),
+            # "tum_like" overrides the amplitudes so per-frame motion
+            # matches TUM fr3/office statistics (synthetic.tum_like_amps)
+            motion=syn.get("motion", "orbit"),
         )
     else:
         raise ValueError("Unknown dataset type")

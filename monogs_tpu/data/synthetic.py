@@ -113,6 +113,40 @@ def orbit_pose(t: float, trans_amp=0.25, rot_amp=0.06, pan=None) -> jnp.ndarray:
     return se3.se3_exp(tau)
 
 
+def tum_like_amps(n_frames: int, step_trans: float = 0.008,
+                  step_rot: float = 0.006):
+    """(trans_amp, rot_amp) so the orbit's MEAN per-frame motion matches a
+    real handheld sequence.
+
+    The stock synthetic orbit covers its full path in n_frames, so small
+    n_frames means violent per-frame motion — the round-4 sweep measured
+    ~4x TUM fr3/office per-frame motion at 32 frames, which made threaded
+    (reference-faithful, frontend-never-blocks) mode collapse in ATE and
+    forced the recorded SLAM number to single-thread
+    (docs/mapping_r4_attribution.md). Defaults: TUM fr3/long_office runs
+    ~0.25 m/s translational / ~10 deg/s angular at 30 Hz
+    (the benchmark's published sequence statistics) -> 8 mm and ~0.006 rad
+    per frame.
+
+    Calibration is numeric: measure the unit-amplitude orbit's mean
+    per-frame translation/rotation once and scale (the two couple only
+    at second order for these magnitudes).
+    """
+    ts = [i / max(n_frames, 1) for i in range(n_frames)]
+    Tt = [np.asarray(orbit_pose(t, trans_amp=1.0, rot_amp=0.0)) for t in ts]
+    Tr = [np.asarray(orbit_pose(t, trans_amp=0.0, rot_amp=1.0)) for t in ts]
+    dt = np.mean([
+        np.linalg.norm(Tt[i + 1][:3, 3] - Tt[i][:3, 3])
+        for i in range(n_frames - 1)
+    ])
+    dr = np.mean([
+        np.arccos(np.clip(
+            (np.trace(Tr[i + 1][:3, :3] @ Tr[i][:3, :3].T) - 1) / 2, -1, 1))
+        for i in range(n_frames - 1)
+    ])
+    return float(step_trans / max(dt, 1e-9)), float(step_rot / max(dr, 1e-9))
+
+
 class SyntheticDataset:
     """Dataset-protocol object over a rendered synthetic sequence.
 
@@ -132,7 +166,14 @@ class SyntheticDataset:
         trans_amp: float = 0.25,
         rot_amp: float = 0.06,
         pan=None,
+        motion: str = "orbit",
     ):
+        if motion == "tum_like":
+            # per-frame motion matched to TUM fr3/office statistics
+            # regardless of n_frames (see tum_like_amps)
+            trans_amp, rot_amp = tum_like_amps(n_frames)
+        elif motion != "orbit":
+            raise ValueError(f"unknown synthetic motion mode: {motion}")
         self.intr = intr
         self.fx, self.fy = intr.fx, intr.fy
         self.cx, self.cy = intr.cx, intr.cy

@@ -134,6 +134,16 @@ class TrackConfig(NamedTuple):
     fo_min_iter: int = 0
     so_plateau_patience: int = 0
     so_plateau_rtol: float = 1e-4
+    # ATTRIBUTION-ONLY truncation of the frame program (scripts/
+    # profile_track_fixed.py): "full" (default product behavior), or stop
+    # after "lists" (the initial margin build + subset gathers), "fo"
+    # (first-order loop), "so" (second-order loop), or run everything but
+    # the final render's counts kernel ("final_nc"). Early stages return a
+    # TrackResult with zeroed images; each stage's outputs are forced live
+    # so XLA cannot dead-code the truncated work. In-context prefix deltas
+    # between consecutive stages decompose the frame's fixed cost the way
+    # docs/mapping_r4_attribution.md decomposed the mapping iteration.
+    stage: str = "full"
 
 
 class TrackState(NamedTuple):
@@ -381,6 +391,21 @@ def track_frame(
     big = jnp.float32(jnp.inf)
     cfg_track = cfg._replace(with_n_touched=False)
 
+    def _trunc(live, T_, ea_, eb_, fo_it, so_it, fo_h, so_h):
+        """Zeroed TrackResult for the attribution-only truncated stages
+        (TrackConfig.stage); `live` keeps the truncated work un-DCE-able."""
+        n = gauss.xyz.shape[0]
+        z1 = jnp.zeros((1, intr.height, intr.width))
+        return TrackResult(
+            T=T_, ea=ea_, eb=eb_,
+            image=jnp.zeros((3, intr.height, intr.width)),
+            depth=z1, opacity=z1,
+            n_touched=jnp.zeros((n,), jnp.int32),
+            median_depth=jnp.float32(live),
+            last_l1=jnp.float32(live), fo_iters=fo_it, so_iters=so_it,
+            fo_losses=fo_h, so_losses=so_h,
+        )
+
     def p0(ea, eb):
         return jnp.concatenate([jnp.zeros(6), ea[None], eb[None]])
 
@@ -427,6 +452,19 @@ def track_frame(
         and tcfg.use_huber
         and cfg_track.backend == "pallas_lists"
     )
+
+    if tcfg.stage == "lists":
+        live = (jnp.sum(lists_fo.idx).astype(jnp.float32)
+                if use_lists else jnp.float32(0.0))
+        if fo_sub:
+            live = live + jnp.sum(gt_t) + jnp.sum(
+                lists_sub.idx
+            ).astype(jnp.float32) + jnp.sum(tx0s)
+        return _trunc(
+            live, T_init, ea_init, eb_init, jnp.int32(0), jnp.int32(0),
+            jnp.full((tcfg.fo_max_iter,), jnp.nan, jnp.float32),
+            jnp.zeros((0,), jnp.float32),
+        )
 
     # ---------------- phase 1: first-order Adam ----------------
     def fo_cond(s: TrackState):
@@ -503,6 +541,12 @@ def track_frame(
         s = jax.lax.while_loop(fo_cond, fo_body, s)
     fo_iters = s.i
     fo_losses = s.hist
+
+    if tcfg.stage == "fo":
+        return _trunc(
+            s.best_l1 + jnp.sum(s.T), s.T, s.ea, s.eb, fo_iters,
+            jnp.int32(0), fo_losses, jnp.zeros((0,), jnp.float32),
+        )
 
     # ---------------- phase 2: sketched Gauss-Newton / LM ----------------
     if tcfg.so_max_iter > 0:
@@ -694,6 +738,12 @@ def track_frame(
         else jnp.zeros((0,), jnp.float32)
     )
 
+    if tcfg.stage == "so":
+        return _trunc(
+            s.best_l1 + jnp.sum(s.T), s.T, s.ea, s.eb, fo_iters, so_iters,
+            fo_losses, so_losses,
+        )
+
     if tcfg.use_best_loss:
         T, ea, eb = s.best_T, s.best_ea, s.best_eb
         last_l1 = s.best_l1
@@ -727,7 +777,11 @@ def track_frame(
             gauss, T, intr, cfg_track, so_aux,
             jnp.arange(n_fine_so, dtype=jnp.int32),
         )
-    out = render(gauss, T, intr, cfg, lists=final_lists)
+    cfg_final = (
+        cfg._replace(with_n_touched=False) if tcfg.stage == "final_nc"
+        else cfg
+    )
+    out = render(gauss, T, intr, cfg_final, lists=final_lists)
     median_depth = losses.get_median_depth(out.depth, out.opacity)
     return TrackResult(
         T=T, ea=ea, eb=eb,

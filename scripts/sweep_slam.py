@@ -74,6 +74,49 @@ VARIANTS = {
     "kf256_it30": {("Renderer", "k_fine"): 256,
                    ("Training", "mapping_itr_num"): 30,
                    ("Training", "init_itr_num"): 200},
+    # round-5: mapping-side tile subsampling (MapConfig.tile_frac) — the
+    # stock config already carries the round-4 winners (k_fine 256,
+    # tracking tile_frac 0.5); these stack the BA subset on top
+    # (ab_tile_frac.py at the 640x480 bench point: 0.25 -> 13.5 BA
+    # iters/s from 7.24, descent quality unchanged)
+    "mtf50": {("Renderer", "mapping_tile_frac"): 0.5},
+    "mtf25": {("Renderer", "mapping_tile_frac"): 0.25},
+    "mtf25_mt": {("Renderer", "mapping_tile_frac"): 0.25,
+                 ("Dataset", "single_thread"): False},
+    # reinvest the subset savings in MORE SGD steps: measured mtf50 costs
+    # 1.97 mm ATE at stock iters (2.30 -> 3.97 mm) while map_kf drops
+    # 44.8 -> 29.6 s; scaling iters back up spends the same wall clock on
+    # 1.5-2.5x the steps
+    "mtf50_it90": {("Renderer", "mapping_tile_frac"): 0.5,
+                   ("Training", "mapping_itr_num"): 90,
+                   ("Training", "init_itr_num"): 450},
+    "mtf25_it150": {("Renderer", "mapping_tile_frac"): 0.25,
+                    ("Training", "mapping_itr_num"): 150,
+                    ("Training", "init_itr_num"): 700},
+    "mtf25_it100": {("Renderer", "mapping_tile_frac"): 0.25,
+                    ("Training", "mapping_itr_num"): 100,
+                    ("Training", "init_itr_num"): 500},
+    "mtf25_it150_mt": {("Renderer", "mapping_tile_frac"): 0.25,
+                       ("Training", "mapping_itr_num"): 150,
+                       ("Training", "init_itr_num"): 700,
+                       ("Dataset", "single_thread"): False},
+    "mtf25_it150_mtg": {("Renderer", "mapping_tile_frac"): 0.25,
+                        ("Training", "mapping_itr_num"): 150,
+                        ("Training", "init_itr_num"): 700,
+                        ("Dataset", "single_thread"): False,
+                        ("Training", "block_on_keyframe"): True},
+    # TUM-like per-frame motion (VERDICT r4 #2): the 32-frame orbit moves
+    # ~4x faster than any real handheld sequence and sits at a stability
+    # cliff (mtf25_it100 read 28.8 mm where it150 read 2.21); these
+    # measure the same levers at fr3/office motion statistics
+    "tum_stock": {("Dataset", "synthetic", "motion"): "tum_like"},
+    "tum_mtf25": {("Dataset", "synthetic", "motion"): "tum_like",
+                  ("Renderer", "mapping_tile_frac"): 0.25},
+    "tum_stock_mt": {("Dataset", "synthetic", "motion"): "tum_like",
+                     ("Dataset", "single_thread"): False},
+    "tum_mtf25_mt": {("Dataset", "synthetic", "motion"): "tum_like",
+                     ("Renderer", "mapping_tile_frac"): 0.25,
+                     ("Dataset", "single_thread"): False},
 }
 
 

@@ -131,3 +131,42 @@ def test_sketch_distortion_bound():
         np.linalg.norm(x_opt - x_sketch),
         upper,
     )
+
+
+def test_stage_truncation_consistent_with_full():
+    """TrackConfig.stage (attribution-only truncation,
+    scripts/profile_track_fixed.py) must agree with the full program at
+    every cut: the "fo"/"so" stages return the same pose trajectory the
+    full run passes through, and "final_nc" differs from full only in
+    n_touched."""
+    ds, frame, T_gt = setup()
+    T0 = perturbed(T_gt, mag=0.01)
+    tcfg = TrackConfig(monocular=True, fo_max_iter=10, so_max_iter=4,
+                       bin_margin=8.0, fo_tile_frac=0.5, so_tile_frac=0.5)
+    cfg_p = CFG._replace(backend="pallas_lists", pallas_interpret=True,
+                         with_n_touched=True)
+
+    def run(stage):
+        return track_frame(
+            ds.scene, frame, T0, jnp.float32(1.0), jnp.float32(0.0),
+            jax.random.PRNGKey(0), INTR, cfg_p, tcfg._replace(stage=stage),
+        )
+
+    full = run("full")
+    r_lists = run("lists")
+    # lists stage does no optimization: pose is the seed, live stats finite
+    np.testing.assert_array_equal(np.asarray(r_lists.T), np.asarray(T0))
+    assert np.isfinite(float(r_lists.last_l1))
+    r_fo = run("fo")
+    assert int(r_fo.fo_iters) == int(full.fo_iters)
+    assert int(r_fo.so_iters) == 0
+    r_so = run("so")
+    assert int(r_so.so_iters) == int(full.so_iters)
+    r_fnc = run("final_nc")
+    np.testing.assert_allclose(np.asarray(r_fnc.T), np.asarray(full.T),
+                               atol=1e-7)
+    np.testing.assert_allclose(np.asarray(r_fnc.image),
+                               np.asarray(full.image), atol=1e-6)
+    # the counts kernel is the ONLY difference
+    assert int(jnp.sum(full.n_touched)) > 0
+    assert int(jnp.sum(r_fnc.n_touched)) == 0
