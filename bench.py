@@ -51,6 +51,9 @@ def main():
     # would otherwise hang forever and the bench would record nothing
     ensure_live_backend(fallback="error", roundtrip=True)
     monogs_tpu.enable_compilation_cache()
+    from monogs_tpu.utils.compile_stats import CompileStats
+
+    cstats = CompileStats.install()
     from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose
     from monogs_tpu.ops import se3
     from monogs_tpu.render import Intrinsics, RenderConfig, render
@@ -80,8 +83,11 @@ def main():
     # fo40/so10/frac0.25 grid (far below the ±1.2 mm seed-to-seed spread)
     # and is ~1.6x faster. so_from_fo_aux (fx3) and rebin_so_iters=1 were
     # REJECTED there: they pay ~1.9 mm and ~1.1 mm respectively.
+    # round-5: so cap 14 -> 8 (docs/tracking_r5_attribution.md — the so
+    # iteration is 5.1 ms, the frame's wall; cap 8 adjudicated over three
+    # jitter seeds: faster on all, mean error within noise)
     tcfg = TrackConfig(
-        monocular=True, fo_max_iter=40, so_max_iter=14,
+        monocular=True, fo_max_iter=40, so_max_iter=8,
         stack_dim=16, sketch_dim=64, bin_margin=8.0,
         fo_tile_frac=0.12, so_tile_frac=0.12, rebin_so_iters=3,
         fo_plateau_patience=5, fo_min_iter=3, so_plateau_patience=4,
@@ -247,6 +253,13 @@ def main():
     except Exception as e:
         print(f"[bench] slam fps bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
+
+    # warm-start accounting (VERDICT r4 #6): distinct compiled programs
+    # and persistent-cache hit rate for this whole bench process
+    print(f"[bench] compiles: {cstats.summary()}", file=sys.stderr,
+          flush=True)
+    secondary["compiled_programs"] = cstats.n_compiled
+    secondary["persistent_cache_hit_rate"] = round(cstats.hit_rate(), 2)
 
     print(json.dumps({
         "metric": "mono_tum_like_tracking_fps_640x480_100k",

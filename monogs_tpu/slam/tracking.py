@@ -567,6 +567,16 @@ def track_frame(
         else:
             lists_so = lists_fo
 
+        if tcfg.stage == "so_prep":
+            # truncate after the so-phase list rebuild (attribution only)
+            live = jnp.sum(lists_so.idx).astype(jnp.float32)
+            if so_aux is not None:
+                live = live + jnp.sum(so_aux.sel_m).astype(jnp.float32)
+            return _trunc(
+                live + s.best_l1, s.T, s.ea, s.eb, fo_iters, jnp.int32(0),
+                fo_losses, jnp.zeros((0,), jnp.float32),
+            )
+
         def so_cond(s: TrackState):
             return (s.i < tcfg.so_max_iter) & jnp.logical_not(s.converged)
 

@@ -1,17 +1,13 @@
 #!/usr/bin/env python
-"""Attribute the tracking frame's FIXED cost on TPU (VERDICT r4 #5).
+"""Decompose the second-order iteration's 5.1 ms (VERDICT r4 #5 follow-on).
 
-The round-3/4 sweep cost model says iterations are cheap (fo ~1.5 ms, so
-~3.3 ms at sf12) and ~45% of the 95.6 ms frame is fixed: final n_touched
-render path, per-phase list builds, pipeline sync residue. This decomposes
-it the way docs/mapping_r4_attribution.md decomposed the mapping
-iteration: TRUNCATED variants of the SAME frame program
-(TrackConfig.stage: lists -> fo -> so -> final_nc -> full), each timed
-with the bench's depth-2 dispatch pipeline; consecutive deltas attribute
-each block in context. Iteration counts are PINNED (plateau/convergence
-exits disabled) so every variant runs identical loop work.
+profile_track_fixed.py found the so LOOP is 50.6 ms of the 96 ms frame
+(10 pinned iters) — not the fixed cost. This times the same truncated
+"so"-stage program under knob variants to attribute the per-iteration
+cost: fine-refine (rebin_so_iters), sketch width (stack/sketch dims),
+tile fraction, and iteration count (slope check).
 
-Usage: python scripts/profile_track_fixed.py [n_frames]
+Usage: python scripts/profile_so_iter.py
 """
 
 import sys
@@ -38,22 +34,19 @@ intr = Intrinsics(fx=535.4, fy=539.2, cx=320.1, cy=247.6,
                   width=640, height=480)
 cfg = RenderConfig(tile=16, macro_tiles=4, k_macro=1024, k_fine=96,
                    macro_chunk=16, backend="pallas_lists")
-# bench budgets with every data-dependent exit DISABLED: fixed 27 fo +
-# 10 so iterations (the bench's measured means), so stage deltas compare
-# identical loop work
-tcfg0 = TrackConfig(
+BASE = TrackConfig(
     monocular=True, fo_max_iter=27, so_max_iter=10,
     stack_dim=16, sketch_dim=64, bin_margin=8.0,
     fo_tile_frac=0.12, so_tile_frac=0.12, rebin_so_iters=3,
     fo_plateau_patience=0, so_plateau_patience=0,
-    fo_converged=0.0, so_converged=0.0,
+    fo_converged=0.0, so_converged=0.0, stage="so",
 )
 
 scene = make_synthetic_scene(
     jax.random.PRNGKey(0), n=100_000, spread=2.2, depth_mean=3.0,
     depth_spread=0.8, scale_min=0.015, scale_max=0.05,
 )
-n_frames = int(sys.argv[1]) if len(sys.argv) > 1 else 20
+n_frames = 20
 rj = jax.jit(
     lambda T: render(scene, T, intr, cfg._replace(with_n_touched=False))
 )
@@ -70,9 +63,7 @@ for i in range(n_frames + 2):
 jax.block_until_ready(datas[-1].gt_image)
 
 
-def time_stage(stage):
-    tcfg = tcfg0._replace(stage=stage)
-
+def time_cfg(label, tcfg):
     def one(i, seed_T):
         return track_frame(
             scene, datas[i + 1], seed_T, jnp.float32(1.0),
@@ -80,7 +71,7 @@ def time_stage(stage):
         )
 
     r = one(0, poses[0])
-    jax.block_until_ready(r.T)  # compile
+    jax.block_until_ready(r.T)
 
     def chain():
         Tm1 = poses[1]
@@ -96,22 +87,16 @@ def time_stage(stage):
         return time.time() - t0
 
     el = min(chain(), chain(), chain())
-    return el / n_frames * 1000
+    ms = el / n_frames * 1000
+    print(f"[so-iter] {label:<26} {ms:7.1f} ms/frame", flush=True)
+    return ms
 
 
-stages = ["lists", "fo", "so_prep", "so", "final_nc", "full"]
-ms = {}
-prev = 0.0
-print(f"[track-fixed] 640x480, 100k gauss, fo 27 / so 10 pinned, "
-      f"{n_frames}-frame depth-2 pipeline, best of 3 chains", flush=True)
-for st in stages:
-    ms[st] = time_stage(st)
-    print(f"[track-fixed] {st:<9} {ms[st]:7.1f} ms/frame   "
-          f"delta {ms[st] - prev:+7.1f} ms", flush=True)
-    prev = ms[st]
-print(f"[track-fixed] decomposition: lists {ms['lists']:.1f} | "
-      f"fo loop {ms['fo'] - ms['lists']:.1f} | "
-      f"so rebuild {ms['so_prep'] - ms['fo']:.1f} | "
-      f"so loop {ms['so'] - ms['so_prep']:.1f} | "
-      f"final refine+render {ms['final_nc'] - ms['so']:.1f} | "
-      f"counts kernel {ms['full'] - ms['final_nc']:.1f}", flush=True)
+b = time_cfg("base (so10, refine3)", BASE)
+time_cfg("so5 (slope)", BASE._replace(so_max_iter=5))
+time_cfg("refine0 (all frozen)", BASE._replace(rebin_so_iters=0))
+time_cfg("refine10 (all refine)", BASE._replace(rebin_so_iters=10))
+time_cfg("sketch16", BASE._replace(sketch_dim=16))
+time_cfg("stack4", BASE._replace(stack_dim=4))
+time_cfg("sf25", BASE._replace(so_tile_frac=0.25))
+time_cfg("sf06", BASE._replace(so_tile_frac=0.06))

@@ -160,6 +160,10 @@ def test_stage_truncation_consistent_with_full():
     r_fo = run("fo")
     assert int(r_fo.fo_iters) == int(full.fo_iters)
     assert int(r_fo.so_iters) == 0
+    r_sp = run("so_prep")
+    assert int(r_sp.fo_iters) == int(full.fo_iters)
+    assert int(r_sp.so_iters) == 0
+    assert np.isfinite(float(r_sp.last_l1))
     r_so = run("so")
     assert int(r_so.so_iters) == int(full.so_iters)
     r_fnc = run("final_nc")
