@@ -198,7 +198,9 @@ def main():
 
     # secondary metrics on stderr — the headline JSON line below stays the
     # monocular tracking number
-    secondary = {"compile_first_frame_s": round(compile_first_s, 1)}
+    secondary = {"compile_first_frame_s": round(compile_first_s, 1),
+                 "mono_err_mm_mean": round(float(np.mean(errs)), 2),
+                 "mono_err_mm_max": round(float(np.max(errs)), 2)}
     frames = [d.gt_image for d in datas]
     map_ips = map_ips_full = None
     try:
@@ -228,8 +230,11 @@ def main():
         print(f"[bench] roofline accounting failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
     try:
-        rgbd_fps = bench_rgbd_tracking(scene, intr, cfg, tcfg)
+        rgbd_fps, rgbd_mean, rgbd_max = bench_rgbd_tracking(
+            scene, intr, cfg, tcfg)
         secondary["rgbd_tracking_fps"] = round(rgbd_fps, 2)
+        secondary["rgbd_err_mm_mean"] = round(rgbd_mean, 2)
+        secondary["rgbd_err_mm_max"] = round(rgbd_max, 2)
     except Exception as e:
         print(f"[bench] rgbd bench failed: {type(e).__name__}: {e}",
               file=sys.stderr, flush=True)
@@ -336,7 +341,7 @@ def bench_rgbd_tracking(scene, intr, cfg, tcfg_mono, n_frames=16):
     print(f"[bench] rgbd tracking: {1000.0/ms:.2f} fps ({ms:.1f} ms/frame), "
           f"pose error mean {np.mean(errs):.2f} / max {np.max(errs):.2f} mm",
           file=sys.stderr, flush=True)
-    return 1000.0 / ms
+    return 1000.0 / ms, float(np.mean(errs)), float(np.max(errs))
 
 
 def bench_slam_fps(n_frames=32, warmup_frames=10):
