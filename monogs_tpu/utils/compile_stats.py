@@ -37,9 +37,11 @@ class CompileStats(logging.Handler):
 
     @classmethod
     def install(cls) -> "CompileStats":
-        import jax
-
-        jax.config.update("jax_log_compiles", True)
+        # NO jax_log_compiles: that flag also raises jax._src.dispatch's
+        # per-trace messages to WARNING and floods stderr (measured: it
+        # drowned a bench run's log). The 'Compiling <name>' record in
+        # pxla and the cache-hit record in jax._src.compiler are emitted
+        # at DEBUG regardless — capturing them only needs logger levels.
         h = cls()
         for name in ("jax._src.interpreters.pxla", "jax._src.compiler"):
             lg = logging.getLogger(name)
