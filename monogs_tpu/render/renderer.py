@@ -1010,6 +1010,7 @@ def render_map_grad(
     sortperm=None,
     txy=None,
     px_frac: float = 1.0,
+    gather_first: bool = False,
 ):
     """Fused mapping loss + full gradient for ONE view over frozen lists.
 
@@ -1040,9 +1041,77 @@ def render_map_grad(
     (MapConfig.tile_frac; the gather pullback scatters only S*Kf rows, so
     every per-row leg of the iteration scales with the fraction).
 
+    `gather_first`: gather the LISTED rows' parameters BEFORE preprocess
+    (the design tracking's subset path uses, render_tiles) so the
+    differentiated pipeline runs over S*Kf rows instead of capacity N —
+    the r5 subset profile put the full-N pullback at +23 ms/iter vs
+    +4.5 gather and +8.7 kernel (scripts/profile_mapping.py). The
+    pullback then scatters per-leaf cotangents by list ids (same adds as
+    the gather transpose, different order — f32 reassociation only), and
+    `radii` comes from a forward-only full-N preprocess (densify
+    visibility needs every gaussian; it carried zero cotangent in the
+    default path anyway). Mathematically identical; parity-tested
+    (test_mapping.py::test_map_grad_gather_first_parity).
+
     Returns (loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii); g_leaves is
     a ParamLeaves-ordered tuple (xyz, sh, log_scale, quat, opa_logit).
     """
+    if gather_first and sortperm is None:
+        s_tiles, kf = lists.idx.shape
+        ids = lists.idx.reshape(-1)                       # [S*Kf]
+        xyz_g = gauss.xyz[ids]
+        sh_g = gauss.sh[ids]
+        ls_g = gauss.log_scale[ids]
+        quat_g = gauss.quat[ids]
+        ol_g = gauss.opa_logit[ids]
+        act_g = gauss.active[ids]
+        off_g = off[ids]
+
+        def rows_fn_g(xyz_, sh_, ls_, quat_, ol_, tau_, offg_):
+            T_eff = se3.retract(T_cw, tau_)
+            prep = preprocess(
+                xyz_, ls_, quat_, ol_, sh_, act_g, T_eff, intr,
+                sh_degree=cfg.sh_degree, near=cfg.near,
+                means2d_offset=offg_,
+            )
+            d0 = _pack(prep).reshape(s_tiles, kf, _F)
+            vld_f = lists.vld & prep.valid.reshape(s_tiles, kf)
+            logo = jnp.where(vld_f, d0[..., _LOGO], -1e30)
+            return jnp.concatenate(
+                [d0[..., :_LOGO], logo[..., None], d0[..., _LOGO + 1:]],
+                axis=-1,
+            )
+
+        d, pull = jax.vjp(
+            rows_fn_g, xyz_g, sh_g, ls_g, quat_g, ol_g, tau, off_g,
+        )
+        loss, dd, g_ea, g_eb = map_grad_from_rows(
+            d, intr, cfg, gt_t, mask_t, ea, eb, initialization, alpha,
+            gtd_t=gtd_t, txy=txy, px_frac=px_frac,
+        )
+        gg = pull(dd)
+        # scatter the gathered-row cotangents back by list id — the same
+        # adds as the default path's gather transpose, in a different
+        # order (f32 reassociation only)
+        g_leaves = tuple(
+            jnp.zeros_like(full).at[ids].add(g)
+            for full, g in zip(
+                (gauss.xyz, gauss.sh, gauss.log_scale, gauss.quat,
+                 gauss.opa_logit), gg[:5],
+            )
+        )
+        g_tau = gg[5]
+        g_off = jnp.zeros_like(off).at[ids].add(gg[6])
+        # densify visibility needs every gaussian's radius: one
+        # forward-only full-N preprocess (it carried zero cotangent in
+        # the default path)
+        prep_full = preprocess(
+            gauss.xyz, gauss.log_scale, gauss.quat, gauss.opa_logit,
+            gauss.sh, gauss.active, se3.retract(T_cw, tau), intr,
+            sh_degree=cfg.sh_degree, near=cfg.near,
+        )
+        return loss, g_leaves, g_tau, g_off, g_ea, g_eb, prep_full.radius
+
     if sortperm is None:
         def rows_fn(xyz, sh, log_scale, quat, opa_logit, tau_, off_):
             T_eff = se3.retract(T_cw, tau_)

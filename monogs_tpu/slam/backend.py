@@ -131,6 +131,7 @@ class BackEnd:
                     ("fused_grad", self.mcfg.fused_grad, True),
                     ("io_batch", self.mcfg.io_batch, False),
                     ("scatter_segsum", self.mcfg.scatter_segsum, False),
+                    ("gather_first", self.mcfg.gather_first, False),
                 ) if v != d
             ]
             if ignored:

@@ -135,6 +135,12 @@ class MapConfig(NamedTuple):
     # to full tiles); lists upkeep, densify, and the final visibility
     # pass stay full-view.
     tile_frac: float = 1.0
+    # Gather the listed rows' PARAMETERS before preprocess so the
+    # differentiated per-view pipeline runs over S*Kf rows instead of
+    # capacity N (render_map_grad gather_first — tracking's subset design
+    # applied to mapping). Pays off when S*Kf << N, i.e. with tile_frac;
+    # exact up to f32 scatter order (test_map_grad_gather_first_parity).
+    gather_first: bool = False
     # Compute the final visibility pass (n_touched per view) from the loop's
     # frozen tile lists instead of B from-scratch globally-binned renders —
     # the binning (preprocess over capacity + global instance sort + fine
@@ -509,6 +515,7 @@ def map_iters_impl(
                         mcfg.alpha, gtd_t=gtd_t,
                         sortperm=(pv, sv) if use_segsum else None,
                         txy=txy, px_frac=sub_frac if use_sub else 1.0,
+                        gather_first=mcfg.gather_first and not use_segsum,
                     )
                 )
                 s = valid_v.astype(jnp.float32)

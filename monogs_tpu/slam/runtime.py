@@ -188,6 +188,9 @@ def map_config_from_config(config, cameras_extent: float = 6.0) -> MapConfig:
         # per-iteration tile subsampling of the fused BA gradient
         # (MapConfig.tile_frac; 1.0 = full tiles)
         tile_frac=config.get("Renderer", {}).get("mapping_tile_frac", 1.0),
+        # gather-first per-view pipeline (MapConfig.gather_first)
+        gather_first=config.get("Renderer", {}).get("mapping_gather_first",
+                                                    False),
     )
 
 

@@ -213,3 +213,122 @@ run(30)
 dt = (time.time() - t0) / 30 * 1000
 print(f"[prof-map] {'full map_iters iteration':<28} {dt:8.2f} ms/iter",
       flush=True)
+
+
+# ---- round-5: the tile-subset (MapConfig.tile_frac) iteration floor ----
+# ab_tile_frac.py measured cost ~ 67 ms fixed + 71 ms x frac: at the
+# shipped 0.25 the ROWS are no longer the wall. These prefixes rerun the
+# decomposition with a fixed 1/4 tile subset to locate the floor.
+S_SUB = (l_idx.shape[1] // 4) // 8 * 8
+tsel = jax.random.permutation(jax.random.PRNGKey(5), l_idx.shape[1])[:S_SUB]
+tsel_b = jnp.tile(tsel[None], (b, 1))
+sub_frac = S_SUB / l_idx.shape[1]
+
+
+def pre_only_sub(params):
+    # identical full-N preprocess; the subset only changes downstream legs
+    return pre_only(params)
+
+
+def pre_gather_sub(params):
+    def one(args):
+        T_v, li, lv, ts = args
+        return jnp.sum(rows_one(params, T_v, li[ts], lv[ts]))
+    return jnp.sum(jax.lax.map(one, (Ts, l_idx, l_vld, tsel_b)))
+
+
+def pre_gather_blend_sub(params):
+    def one(args):
+        T_v, li, lv, gt_t, mask_t, ts = args
+        d = rows_one(params, T_v, li[ts], lv[ts])
+        dd, sums = map_grad_lists_pallas(
+            d, tx0[ts], ty0[ts], pmat, gt_t[ts], mask_t[ts],
+            jnp.float32(1.0), jnp.float32(0.0), tile, intr.width,
+            intr.height, False, True, 1.0, 1e-6, px_frac=sub_frac,
+        )
+        return jnp.sum(dd) + jnp.sum(sums)
+    return jnp.sum(jax.lax.map(one, (Ts, l_idx, l_vld, gt_tb, mask_tb,
+                                     tsel_b)))
+
+
+def full_grad_sub(params):
+    def one(args):
+        T_v, li, lv, gt_t, mask_t, ts = args
+        loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii = render_map_grad(
+            gauss._replace(
+                xyz=params.xyz, sh=params.sh, log_scale=params.log_scale,
+                quat=params.quat, opa_logit=params.opa_logit,
+            ),
+            T_v, intr, cfg, TileLists(idx=li[ts], vld=lv[ts]),
+            gt_t[ts], mask_t[ts],
+            jnp.zeros(6), jnp.zeros((cap, 2)), jnp.float32(1.0),
+            jnp.float32(0.0), False, 1.0,
+            txy=(tx0[ts], ty0[ts]), px_frac=sub_frac,
+        )
+        return (loss, g_leaves)
+    losses, gl = jax.lax.map(one, (Ts, l_idx, l_vld, gt_tb, mask_tb,
+                                   tsel_b))
+    return jnp.sum(losses) + sum(jnp.sum(g) for g in jax.tree.leaves(gl))
+
+
+def grad_no_offs_sub(params):
+    # same as full_grad_sub but WITHOUT the means2d_offset hook: its
+    # cotangent is a dense [N, 2] per view that exists only for densify
+    # stats — measuring its share of the floor
+    def one(args):
+        T_v, li, lv, gt_t, mask_t, ts = args
+        def rows_fn(xyz, sh, ls, quat, ol):
+            prep = preprocess(
+                xyz, ls, quat, ol, sh, m0.active, T_v, intr,
+                sh_degree=cfg.sh_degree, near=cfg.near,
+            )
+            packed = _pack(prep)
+            d0 = packed[li[ts]]
+            vld_f = lv[ts] & prep.valid[li[ts]]
+            logo = jnp.where(vld_f, d0[..., _LOGO], -1e30)
+            return jnp.concatenate(
+                [d0[..., :_LOGO], logo[..., None], d0[..., _LOGO + 1:]],
+                axis=-1,
+            )
+        d, pull = jax.vjp(rows_fn, params.xyz, params.sh,
+                          params.log_scale, params.quat, params.opa_logit)
+        dd, sums = map_grad_lists_pallas(
+            d, tx0[ts], ty0[ts], pmat, gt_t[ts], mask_t[ts],
+            jnp.float32(1.0), jnp.float32(0.0), tile, intr.width,
+            intr.height, False, True, 1.0, 1e-6, px_frac=sub_frac,
+        )
+        return sum(jnp.sum(g) for g in pull(dd)) + jnp.sum(sums)
+    return jnp.sum(jax.lax.map(one, (Ts, l_idx, l_vld, gt_tb, mask_tb,
+                                     tsel_b)))
+
+
+print(f"[prof-map] ---- subset frac {sub_frac:.3f} ({S_SUB} tiles) ----",
+      flush=True)
+timed_scan(pre_gather_sub, "sub: + row gather")
+timed_scan(pre_gather_blend_sub, "sub: + fused blend kernel")
+timed_scan(grad_no_offs_sub, "sub: + pullback, NO offs hook")
+timed_scan(full_grad_sub, "sub: + full pullback")
+
+
+def full_grad_sub_gf(params):
+    # gather-first variant (render_map_grad gather_first=True)
+    def one(args):
+        T_v, li, lv, gt_t, mask_t, ts = args
+        loss, g_leaves, g_tau, g_off, g_ea, g_eb, radii = render_map_grad(
+            gauss._replace(
+                xyz=params.xyz, sh=params.sh, log_scale=params.log_scale,
+                quat=params.quat, opa_logit=params.opa_logit,
+            ),
+            T_v, intr, cfg, TileLists(idx=li[ts], vld=lv[ts]),
+            gt_t[ts], mask_t[ts],
+            jnp.zeros(6), jnp.zeros((cap, 2)), jnp.float32(1.0),
+            jnp.float32(0.0), False, 1.0,
+            txy=(tx0[ts], ty0[ts]), px_frac=sub_frac, gather_first=True,
+        )
+        return (loss, g_leaves)
+    losses, gl = jax.lax.map(one, (Ts, l_idx, l_vld, gt_tb, mask_tb,
+                                   tsel_b))
+    return jnp.sum(losses) + sum(jnp.sum(g) for g in jax.tree.leaves(gl))
+
+
+timed_scan(full_grad_sub_gf, "sub: full pullback GATHER-FIRST")

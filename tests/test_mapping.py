@@ -447,6 +447,71 @@ def test_map_grad_tile_subset_partition_parity():
                                       np.asarray(ref[6]), err_msg=tag)
 
 
+def test_map_grad_gather_first_parity():
+    """gather-first mapping gradients (parameters gathered by list id
+    BEFORE preprocess, leaf cotangents scattered back) match the default
+    full-N pipeline: preprocess is per-row elementwise so the rows are
+    IDENTICAL, and the pullback performs the same adds in a different
+    order (f32 reassociation only). Full lists AND a tile subset."""
+    from monogs_tpu.render import build_tile_lists
+    from monogs_tpu.render.renderer import (
+        TileLists, _tile_origins, render_map_grad, tile_images,
+    )
+
+    scene, m = scene_and_map()
+    views = target_views(scene, 2)
+    img, dep, T = views[1]
+    gt_img = img + 0.03
+    gt_dep = dep + 0.05
+    mask = jnp.ones((1, INTR.height, INTR.width))
+    n = m.capacity
+    cfg_p = CFG._replace(with_n_touched=False, backend="pallas_lists",
+                         pallas_interpret=True)
+    gauss = m.render_view()
+    lists = build_tile_lists(gauss, T, INTR, cfg_p, margin=4.0)
+    gt_t = tile_images(gt_img, INTR, cfg_p)
+    mask_t = tile_images(mask, INTR, cfg_p)
+    gtd_t = tile_images(gt_dep, INTR, cfg_p)
+    ea, eb = jnp.float32(1.08), jnp.float32(0.02)
+    tau0, off0 = jnp.zeros(6), jnp.zeros((n, 2))
+    tx0f, ty0f = _tile_origins(INTR, cfg_p)
+    n_fine = lists.idx.shape[0]
+    ts = jax.random.permutation(jax.random.PRNGKey(3), n_fine)[:n_fine // 2]
+    sub = dict(
+        lists=TileLists(idx=lists.idx[ts], vld=lists.vld[ts]),
+        gt_t=gt_t[ts], mask_t=mask_t[ts], gtd_t=gtd_t[ts],
+        txy=(tx0f[ts], ty0f[ts]), px_frac=(n_fine // 2) / n_fine,
+    )
+    full = dict(lists=lists, gt_t=gt_t, mask_t=mask_t, gtd_t=gtd_t,
+                txy=None, px_frac=1.0)
+
+    for name, kw in (("full", full), ("subset", sub)):
+        for rgbd in (False, True):
+            args = (gauss, T, INTR, cfg_p, kw["lists"], kw["gt_t"],
+                    kw["mask_t"], tau0, off0, ea, eb, False, 0.9)
+            kws = dict(gtd_t=kw["gtd_t"] if rgbd else None,
+                       txy=kw["txy"], px_frac=kw["px_frac"])
+            ref = render_map_grad(*args, **kws)
+            out = render_map_grad(*args, **kws, gather_first=True)
+            tag = f"{name} rgbd={rgbd}"
+            np.testing.assert_allclose(float(out[0]), float(ref[0]),
+                                       rtol=1e-6, err_msg=tag)
+            for a, b_ in zip(jax.tree.leaves(ref[1]),
+                             jax.tree.leaves(out[1])):
+                np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                           atol=2e-5, err_msg=tag)
+            np.testing.assert_allclose(out[2], ref[2], atol=2e-5,
+                                       err_msg=tag)
+            np.testing.assert_allclose(out[3], ref[3], atol=2e-5,
+                                       err_msg=tag)
+            np.testing.assert_allclose(out[4], ref[4], rtol=1e-5,
+                                       atol=1e-7, err_msg=tag)
+            np.testing.assert_allclose(out[5], ref[5], rtol=1e-5,
+                                       atol=1e-7, err_msg=tag)
+            np.testing.assert_array_equal(np.asarray(out[6]),
+                                          np.asarray(ref[6]), err_msg=tag)
+
+
 def test_map_iters_tile_frac_reduces_loss():
     """Full map_iters with per-iteration tile subsampling
     (MapConfig.tile_frac=0.5) still descends to the fused path's quality:
