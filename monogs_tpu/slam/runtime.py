@@ -367,6 +367,25 @@ class SLAM:
 
         self.backend_queue.put(["stop"])
         backend_thread.join(timeout=60)
+        if backend_thread.is_alive():
+            # A backend mid-compile can exceed 60 s by a lot on CPU (the
+            # fused map_iters program compiles for many minutes on a
+            # 1-core host). Returning with a LIVE daemon thread is worse
+            # than waiting: the leftover thread keeps compiling/executing
+            # XLA programs concurrently with whatever the caller does
+            # next — observed as an XLA:CPU segfault when a later test's
+            # compile raced it (round 5, full-suite crash at
+            # test_multichip). Wait it out; only a truly wedged backend
+            # (dead relay) should ever trip the final error.
+            Log("Backend still busy after 60s (long compile?); waiting up "
+                "to 30 min for it to drain", tag="Warn")
+            backend_thread.join(timeout=1740)
+            if backend_thread.is_alive():
+                raise RuntimeError(
+                    "backend thread failed to stop within 30 min of the "
+                    "stop message — refusing to return with a live "
+                    "backend racing the caller"
+                )
         Log("Backend stopped and joined the main thread")
         if gui_thread is not None:
             from ..gui.gui_utils import GaussianPacket

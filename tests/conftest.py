@@ -37,3 +37,27 @@ if "xla_force_host_platform_device_count" not in flags:
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
+
+# The full suite compiles hundreds of XLA:CPU executables in one process;
+# each holds several JIT code mappings, and the kernel's default
+# vm.max_map_count (65530) runs out near the end of the run — LLVM then
+# fails mmap with "Cannot allocate memory" and the process SEGFAULTS
+# (observed round 5, exit 139 with 120 GB of free RAM). Raise the limit
+# when we can (this image runs tests as root); warn loudly when we can't.
+try:
+    with open("/proc/sys/vm/max_map_count") as f:
+        _maps = int(f.read().strip())
+    if _maps < 262144:
+        try:
+            with open("/proc/sys/vm/max_map_count", "w") as f:
+                f.write("1048576\n")
+        except OSError:
+            sys.stderr.write(
+                f"[conftest] WARNING: vm.max_map_count={_maps} is too low "
+                "for the full suite in one process and could not be "
+                "raised; expect an LLVM mmap segfault near the end — "
+                "run `sysctl -w vm.max_map_count=1048576` or use "
+                "scripts/run_suite.sh\n"
+            )
+except OSError:
+    pass
