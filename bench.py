@@ -85,12 +85,21 @@ def main():
     # REJECTED there: they pay ~1.9 mm and ~1.1 mm respectively.
     # round-5: so cap 14 -> 8 (docs/tracking_r5_attribution.md — the so
     # iteration is 5.1 ms, the frame's wall; cap 8 adjudicated over three
-    # jitter seeds: faster on all, mean error within noise)
+    # jitter seeds: faster on all, mean error within noise).
+    # round-5b: so_from_fo_aux + bin_margin 16 — the post-fo global rebuild
+    # (8.7 ms) is skipped; the so phase refines the SEED-pose margin macro
+    # lists with CURRENT-pose depth selection/order (renderer.
+    # refine_fine_lists fresh-z). Adjudicated over seeds 42/7/123:
+    # -9..-13 ms/frame, mean error +0.09/+0.40/+0.29 mm (within the
+    # +-1.2 mm seed spread). Margin 8 is NOT enough once order staleness
+    # is fixed (7.6 mm); 16 px covers the seed error
+    # (/tmp-style sweep logs -> docs/tracking_r5_attribution.md).
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=40, so_max_iter=8,
-        stack_dim=16, sketch_dim=64, bin_margin=8.0,
+        stack_dim=16, sketch_dim=64, bin_margin=16.0,
         fo_tile_frac=0.12, so_tile_frac=0.12, rebin_so_iters=3,
         fo_plateau_patience=5, fo_min_iter=3, so_plateau_patience=4,
+        so_from_fo_aux=True,
     )
 
     n_gauss = 100_000

@@ -35,4 +35,10 @@ def enable_compilation_cache(path: str | None = None):
     )
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # Cache EVERYTHING, including sub-second programs: a SLAM warmup
+    # compiles ~600 programs of which ~330 are tiny op-by-op dispatches
+    # (broadcast_in_dim/dynamic_slice/...); at the default 1.0s threshold
+    # none of them persist, so every warm restart re-pays their compiles
+    # (18% hit rate measured, docs/bench_r5_0821_a.log). With 0.0 the
+    # warm-path hit rate covers the long tail too.
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)

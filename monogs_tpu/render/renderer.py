@@ -408,12 +408,16 @@ def refine_fine_lists(
 
     The macro stage — preprocess of all N, depth argsort, and the global
     instance sort, ~6 of the ~8 ms of a full rebuild — is reused; the
-    overlap test and depth truncation run with CURRENT-pose geometry, so
-    the per-tile k_fine SELECTION stays exact while only the front-to-back
-    order within (near-equal-depth) survivors is frozen at the macro build
-    pose. For the intra-phase pose motion of the second-order tracker
-    (~1-2 px) this matches full rebinning's accuracy at a fraction of the
-    cost. Non-differentiable."""
+    overlap test AND the depth selection/order run entirely with
+    CURRENT-pose geometry: candidates are sorted by their fresh
+    preprocess z (not the macro build pose's depth rank), so both the
+    k_fine truncation and the blend's front-to-back order match a full
+    rebuild at this pose exactly — the only staleness left is macro
+    MEMBERSHIP, which the build margin covers. (Keying by the stale
+    build-pose rank instead was measured to cost ~2.2 mm when the build
+    pose is the frame seed (so_from_fo_aux), margin-independent across
+    8-24 px — the penalty was order staleness, not coverage.)
+    Non-differentiable."""
     n = gauss.xyz.shape[0]
     tile = cfg.tile
     ft = cfg.macro_tiles * cfg.macro_tiles
@@ -448,10 +452,14 @@ def refine_fine_lists(
         & (um + rm >= txp) & (um - rm <= txp + tile - 1)
         & (vm + rm >= typ) & (vm - rm <= typ + tile - 1)
     )                                                     # [S, Km]
-    keys = jnp.where(fm, sel_rows, r_pow2)
-    rank_g = jax.lax.sort(keys, dimension=1, is_stable=False)[:, :cfg.k_fine]
-    vld_f = rank_g < r_pow2
-    idx = jnp.where(vld_f, order[jnp.where(vld_f, rank_g, 0)], 0)
+    del sel_rows, r_pow2
+    z_m = prep.z.reshape(km)[mi]                          # fresh depth
+    ids = orig_m[mi]                                      # [S, Km] orig ids
+    zkey = jnp.where(fm, z_m, jnp.inf)
+    zs, ids_s = jax.lax.sort((zkey, ids), dimension=1, num_keys=1)
+    zs = zs[:, :cfg.k_fine]
+    vld_f = jnp.isfinite(zs)
+    idx = jnp.where(vld_f, ids_s[:, :cfg.k_fine], 0)
     return TileLists(idx=idx, vld=vld_f)
 
 
@@ -795,9 +803,10 @@ def render_pose_jvp_tiles(
         return _pack(prep), prep.valid
 
     (rows, valid), jvp_fn = jax.linearize(pp, jnp.zeros(6))
-    row_tans = jnp.stack(
-        [jvp_fn(jnp.eye(6)[k])[0] for k in range(6)], axis=0
-    )                                                   # [6, S*Kf, F]
+    # one batched pushforward instead of 6 sequential linearized chains:
+    # the tracking frame is latency-bound (docs/roofline_r5.md), so 6x
+    # fewer ops on 6x-wider arrays is the right trade at S*Kf ~ 14k rows
+    row_tans = jax.vmap(lambda e: jvp_fn(e)[0])(jnp.eye(6))  # [6, S*Kf, F]
 
     vld = vld_s & valid.reshape(s_tiles, kf)
     d = rows.reshape(s_tiles, kf, _F)

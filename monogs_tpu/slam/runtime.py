@@ -93,21 +93,24 @@ def track_config_from_config(config) -> TrackConfig:
     tr = config["Training"]
     rgn = tr["RGN"]
     lr = tr["lr"]
-    # so_from_fo_aux / final_reuse freeze macro-cell membership at the
-    # frame's SEED pose for the entire fo+so(+final) pipeline: if the total
-    # intra-frame correction exceeds bin_margin pixels the lists silently go
-    # stale (the exact failure mode the bin_margin docstring warns about).
-    # Safe under constant-velocity seeding with small per-frame motion (the
-    # bench regime); a plain previous-frame seed on fast motion is NOT.
-    # Surface the precondition loudly when a config opts in.
+    # so_from_fo_aux / final_reuse freeze macro-cell MEMBERSHIP at the
+    # frame's SEED pose for the entire fo+so(+final) pipeline (fine-tile
+    # selection and blend order are re-derived with CURRENT-pose geometry
+    # every refine — renderer.refine_fine_lists fresh-z): if the total
+    # intra-frame correction exceeds bin_margin pixels, membership goes
+    # stale. 16 px was adjudicated over 3 seeds on the TUM-like bench
+    # regime (docs/tracking_r5_attribution.md); 8 px measurably leaks
+    # ~2 mm there. Warn when a config opts in with a thin margin.
     if rgn.get("so_from_fo_aux", False) or rgn.get("final_reuse", False):
-        Log(
-            "Training.RGN.so_from_fo_aux/final_reuse freeze binning at the "
-            f"seed pose: only sound when per-frame motion stays within "
-            f"bin_margin ({rgn.get('bin_margin', 0)} px); validate pose "
-            "error on your motion regime before shipping this config.",
-            tag="Warning",
-        )
+        if rgn.get("bin_margin", 0) < 12:
+            Log(
+                "Training.RGN.so_from_fo_aux/final_reuse freeze macro "
+                f"membership at the seed pose with bin_margin only "
+                f"{rgn.get('bin_margin', 0)} px — 16 px is the validated "
+                "floor on TUM-like motion; validate pose error on your "
+                "motion regime before shipping this config.",
+                tag="Warning",
+            )
     return TrackConfig(
         monocular=tr["monocular"],
         alpha=tr.get("alpha", 0.95),

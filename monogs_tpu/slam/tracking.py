@@ -136,7 +136,8 @@ class TrackConfig(NamedTuple):
     so_plateau_rtol: float = 1e-4
     # ATTRIBUTION-ONLY truncation of the frame program (scripts/
     # profile_track_fixed.py): "full" (default product behavior), or stop
-    # after "lists" (the initial margin build + subset gathers), "fo"
+    # after "build" (just the initial margin build: preprocess all N +
+    # global sort), "lists" (build + subset gathers + gt tiling), "fo"
     # (first-order loop), "so" (second-order loop), or run everything but
     # the final render's counts kernel ("final_nc"). Early stages return a
     # TrackResult with zeroed images; each stage's outputs are forced live
@@ -422,6 +423,17 @@ def track_frame(
         )
     else:
         lists_fo = None
+
+    if tcfg.stage == "build":
+        live = (jnp.sum(lists_fo.idx).astype(jnp.float32)
+                if use_lists else jnp.float32(0.0))
+        if fo_aux is not None:
+            live = live + jnp.sum(fo_aux.sel_m).astype(jnp.float32)
+        return _trunc(
+            live, T_init, ea_init, eb_init, jnp.int32(0), jnp.int32(0),
+            jnp.full((tcfg.fo_max_iter,), jnp.nan, jnp.float32),
+            jnp.zeros((0,), jnp.float32),
+        )
 
     fo_sub = use_lists and tcfg.fo_tile_frac < 1.0 and tcfg.fo_max_iter > 0
     if fo_sub:

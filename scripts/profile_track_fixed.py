@@ -99,7 +99,7 @@ def time_stage(stage):
     return el / n_frames * 1000
 
 
-stages = ["lists", "fo", "so_prep", "so", "final_nc", "full"]
+stages = ["build", "lists", "fo", "so_prep", "so", "final_nc", "full"]
 ms = {}
 prev = 0.0
 print(f"[track-fixed] 640x480, 100k gauss, fo 27 / so 10 pinned, "
@@ -109,7 +109,8 @@ for st in stages:
     print(f"[track-fixed] {st:<9} {ms[st]:7.1f} ms/frame   "
           f"delta {ms[st] - prev:+7.1f} ms", flush=True)
     prev = ms[st]
-print(f"[track-fixed] decomposition: lists {ms['lists']:.1f} | "
+print(f"[track-fixed] decomposition: build {ms['build']:.1f} | "
+      f"subset prep {ms['lists'] - ms['build']:.1f} | "
       f"fo loop {ms['fo'] - ms['lists']:.1f} | "
       f"so rebuild {ms['so_prep'] - ms['fo']:.1f} | "
       f"so loop {ms['so'] - ms['so_prep']:.1f} | "

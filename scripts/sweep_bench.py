@@ -26,7 +26,10 @@ sys.path.insert(0, "/root/repo")
 import monogs_tpu  # noqa: E402
 from monogs_tpu.utils.relay import ensure_live_backend  # noqa: E402
 
-ensure_live_backend(fallback="error", roundtrip=True)
+# TCP-only probe: session scripts run under an outer `timeout`, and the
+# full dispatch round-trip probe costs its own interpreter + trace CPU on
+# this 1-core box (CLAUDE.md round-4)
+ensure_live_backend(fallback="error", roundtrip=False)
 monogs_tpu.enable_compilation_cache()
 
 from monogs_tpu.data.synthetic import make_synthetic_scene, orbit_pose  # noqa: E402
@@ -68,17 +71,19 @@ jax.block_until_ready(datas[-1].gt_image)
 
 
 def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
-              rebin=3, stack=16, fast_fixed=0, sketch=64):
+              rebin=3, stack=16, fast_fixed=0, sketch=64, margin=8):
     """lrx = fo learning-rate multiplier x10 (10 = stock).
     fofrac/sofrac = tile fractions x100 (25 = stock).
     rebin = rebin_so_iters. fast_fixed: 0 = off, 1 = so_from_fo_aux +
     final_reuse (skip the post-fo global rebuild AND the final all-tile
     fine refine), 2 = final_reuse ONLY (the final render is pose-neutral,
     so this keeps fx0 pose error while dropping the ~40 ms final rebuild),
-    3 = so_from_fo_aux ONLY."""
+    3 = so_from_fo_aux ONLY. margin = bin_margin px (capacity-based
+    binning makes this shape-constant in cost; fx3's staleness penalty
+    should shrink as margin grows)."""
     tcfg = TrackConfig(
         monocular=True, fo_max_iter=fo, so_max_iter=so,
-        stack_dim=stack, sketch_dim=sketch, bin_margin=8.0,
+        stack_dim=stack, sketch_dim=sketch, bin_margin=float(margin),
         fo_tile_frac=fofrac / 100.0, so_tile_frac=sofrac / 100.0,
         rebin_so_iters=min(rebin, so),
         fo_plateau_patience=fopp, so_plateau_patience=sopp,
@@ -122,7 +127,7 @@ def run_combo(fo, so, fopp=0, sopp=0, lrx=10, fofrac=25, sofrac=25,
     ms = el / N_FRAMES * 1000
     print(f"[sweep] fo{fo:>3} so{so:>3} fopp{fopp} sopp{sopp} "
           f"lrx{lrx} ff{fofrac} sf{sofrac} rb{rebin} st{stack} fx{fast_fixed} "
-          f"sd{sketch} seed{_SEED}: "
+          f"sd{sketch} mg{margin} seed{_SEED}: "
           f"{ms:7.1f} ms/frame ({1000/ms:5.2f} fps)  "
           f"err mean {np.mean(errs):5.2f} max {np.max(errs):5.2f} mm  "
           f"iters fo {fo_it:4.1f} so {so_it:4.1f}", flush=True)

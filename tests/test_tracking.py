@@ -153,6 +153,10 @@ def test_stage_truncation_consistent_with_full():
         )
 
     full = run("full")
+    r_build = run("build")
+    # build stage stops right after the initial margin build
+    np.testing.assert_array_equal(np.asarray(r_build.T), np.asarray(T0))
+    assert np.isfinite(float(r_build.last_l1))
     r_lists = run("lists")
     # lists stage does no optimization: pose is the seed, live stats finite
     np.testing.assert_array_equal(np.asarray(r_lists.T), np.asarray(T0))
